@@ -1,0 +1,109 @@
+"""Packing sequence records into dense device batches.
+
+TPU-native layout: every record is appended to one virtual base-code stream
+with a single N separator between records (an N invalidates exactly the
+windows that would span a record boundary, so per-record k-mer semantics are
+preserved bit-exactly while lanes stay ~99% occupied). The stream is cut into
+fixed-length chunks of ``chunk_len`` bases at stride ``stride = chunk_len -
+(kmax-1)``: consecutive chunks overlap by the kmax-1-base *halo*, so every
+window of the stream is fully visible to exactly one owning chunk (the
+sequence-parallel analog called out in SURVEY.md §5). Chunks are stacked into
+``[batch_rows, chunk_len]`` uint8 batches; the final partial batch is padded
+with all-N rows (zero contribution).
+
+This replaces the reference's per-read std::string hashing loop
+(ntcard.cpp:147-171) and its whole-chromosome single-string FASTA handling
+(ntcard.cpp:195-201) with a single uniform layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+
+from ntcard_tpu.constants import ASCII_TO_CODE, N
+
+
+class StreamPacker:
+    """Incremental packer: feed records, collect ``[B, L]`` uint8 batches."""
+
+    def __init__(self, chunk_len: int = 1024, batch_rows: int = 1024, kmax: int = 64):
+        if kmax < 1:
+            raise ValueError("kmax must be >= 1")
+        if chunk_len <= kmax:
+            raise ValueError(f"chunk_len ({chunk_len}) must exceed kmax ({kmax})")
+        if batch_rows % 128:
+            raise ValueError("batch_rows must be a multiple of 128")
+        self.chunk_len = chunk_len
+        self.batch_rows = batch_rows
+        self.stride = chunk_len - (kmax - 1)
+        # bases covered by one batch's owned starts:
+        self._batch_span = self.batch_rows * self.stride
+        # bases that must be buffered before a batch can be emitted:
+        self._need = (self.batch_rows - 1) * self.stride + self.chunk_len
+        self._buf = np.empty(self._need + (self.chunk_len * 2), dtype=np.uint8)
+        self._n = 0  # filled bases in _buf
+        self._real = 0  # real (non-pad) bases currently in _buf
+        self.total_bases = 0  # stream statistics (bases incl. separators)
+        self.total_records = 0
+
+    def _grow(self, extra: int):
+        need = self._n + extra
+        if need > self._buf.size:
+            newbuf = np.empty(max(need, self._buf.size * 2), dtype=np.uint8)
+            newbuf[: self._n] = self._buf[: self._n]
+            self._buf = newbuf
+
+    def feed(self, seq: bytes) -> Iterator[np.ndarray]:
+        """Append one record (+ separator); yield any completed batches."""
+        self.total_records += 1
+        m = len(seq)
+        self._grow(m + 1)
+        if m:
+            codes = ASCII_TO_CODE[np.frombuffer(seq, dtype=np.uint8)]
+            self._buf[self._n : self._n + m] = codes
+        self._buf[self._n + m] = N  # record separator
+        self._n += m + 1
+        self._real = self._n
+        self.total_bases += m + 1
+        while self._n >= self._need:
+            yield self._emit()
+
+    def _emit(self) -> np.ndarray:
+        B, L, S = self.batch_rows, self.chunk_len, self.stride
+        view = np.lib.stride_tricks.as_strided(
+            self._buf, shape=(B, L), strides=(S * self._buf.strides[0], self._buf.strides[0])
+        )
+        batch = np.ascontiguousarray(view)
+        # drop the consumed owned spans; keep the tail (incl. halo) for next batch
+        rest = self._n - self._batch_span
+        self._buf[:rest] = self._buf[self._batch_span : self._n]
+        self._n = rest
+        self._real = max(0, self._real - self._batch_span)
+        return batch
+
+    def finish(self) -> Iterator[np.ndarray]:
+        """Flush: emit padded batches until every real base's windows have an
+        owning chunk, then reset."""
+        while self._real > 0:
+            self._grow(self._need - self._n)
+            self._buf[self._n : self._need] = N
+            self._n = self._need
+            yield self._emit()
+        self._n = 0
+        self._real = 0
+
+
+def pack_records(
+    records: Iterable[bytes],
+    chunk_len: int = 1024,
+    batch_rows: int = 1024,
+    kmax: int = 64,
+    packer: Optional[StreamPacker] = None,
+) -> Iterator[np.ndarray]:
+    """Pack an iterable of records into a stream of [B, L] uint8 batches."""
+    p = packer or StreamPacker(chunk_len, batch_rows, kmax)
+    for seq in records:
+        yield from p.feed(seq)
+    yield from p.finish()

@@ -1,0 +1,61 @@
+"""uint64 emulation on TPU as (hi32, lo32) uint32 pairs.
+
+TPU vector units have no native uint64; every 64-bit hash value in the device
+kernels is carried as two uint32 arrays. The ntHash split-rotation (a 33-bit
+ring in bits 0..32 and a 31-bit ring in bits 33..63, reference
+/root/reference/vendor/ntHash/nthash.hpp:185-217) maps onto a handful of
+uint32 shifts/xors per step.
+
+All functions are shape-polymorphic elementwise jnp ops (usable inside jit,
+scan, shard_map, and Pallas kernels alike).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+U1 = jnp.uint32(1)
+U31 = jnp.uint32(31)
+
+
+def srol(hi, lo):
+    """Split-rotate left by one: rol1 then swap bits 0<->33.
+
+    Semantics of nthash.hpp:186-211 (rol1 + swapbits033)."""
+    nh = (hi << U1) | (lo >> U31)
+    nl = (lo << U1) | (hi >> U31)
+    # bit0 (nl&1) and bit33 (bit1 of nh) swap; xor by their difference.
+    x = (nl ^ (nh >> U1)) & U1
+    return nh ^ (x << U1), nl ^ x
+
+
+def sror(hi, lo):
+    """Split-rotate right by one: ror1 then swap bits 32<->63
+    (nthash.hpp:191-217). Inverse of :func:`srol`."""
+    nh = (hi >> U1) | (lo << U31)
+    nl = (lo >> U1) | (hi << U31)
+    # bit32 (nh&1) and bit63 (bit31 of nh) swap.
+    x = (nh ^ (nh >> U31)) & U1
+    return nh ^ (x | (x << U31)), nl
+
+
+def lt(a_hi, a_lo, b_hi, b_lo):
+    """Unsigned 64-bit a < b."""
+    return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+
+
+def min64(a_hi, a_lo, b_hi, b_lo):
+    """Unsigned 64-bit elementwise min, returned as (hi, lo)."""
+    sel = lt(a_hi, a_lo, b_hi, b_lo)
+    return jnp.where(sel, a_hi, b_hi), jnp.where(sel, a_lo, b_lo)
+
+
+def lut5(code, table5):
+    """Lookup into a 5-entry constant table by base code (0..4) as an explicit
+    select chain — guaranteed to stay elementwise on the VPU (no gather).
+
+    ``table5`` is a length-5 numpy uint32 array (host constant)."""
+    out = jnp.full(code.shape, jnp.uint32(int(table5[4])))
+    for i in range(4):
+        out = jnp.where(code == i, jnp.uint32(int(table5[i])), out)
+    return out

@@ -1,0 +1,219 @@
+"""ntcard command-line driver — flag-compatible with the reference
+(ntcard.cpp:27-48 usage; :317-425 parsing/validation), including the hidden
+``-r/--rbit`` and ``-s/--sbit`` flags, the accepted-and-ignored ``-l``/``-f``
+short options, and the <50 GB ``sBits=7`` override that runs *after* parsing
+(ntcard.cpp:427-431).
+
+TPU-specific additions (new flags, defaults need no tuning):
+  --chunk-len / --batch-rows   device batch geometry
+  --devices N                  data-parallel shards over the device mesh
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+import time
+from typing import List, Optional
+
+PROGRAM = "ntCard"
+
+VERSION_MESSAGE = (
+    "ntCard-TPU 1.0.0 (capability parity with ntCard 1.2.2)\n"
+    "A TPU-native k-mer cardinality estimation framework.\n"
+)
+
+USAGE_MESSAGE = f"""Usage: {PROGRAM} [OPTION]... FILE(S)...
+Estimates k-mer coverage histogram in FILE(S).
+
+Acceptable file formats: fastq, fasta, sam, bam and in compressed formats gz, bz, zip, xz.
+A list of files containing file names in each row can be passed with @ prefix.
+
+ Options:
+
+  -t, --threads=N\tuse N parallel threads [1] (N>=2 should be used when input files are >=2)
+  -k, --kmer=N\tthe length of kmer
+  -g, --gap=N\tthe length of gap in the gap seed [0]. g mod 2 must equal k mod 2 unless g == 0
+           \t-g does not support multiple k currently.
+  -c, --cov=N\tthe maximum coverage of kmer in output [1000]
+  -p, --pref=STRING    the prefix for output file name(s)
+  -o, --output=STRING\tthe name for output file name (used when output should be a single file)
+      --help\tdisplay this help and exit
+      --version\toutput version information and exit
+
+Report bugs to https://github.com/bcgsc/ntCard/issues
+"""
+
+
+class Opts:
+    def __init__(self):
+        self.n_thrd = 1
+        self.gap = 0
+        self.r_bits = 27
+        self.s_bits = 11
+        self.cov_max = 1000
+        self.prefix = ""
+        self.output = ""
+        self.k_list: List[int] = []
+        self.chunk_len: Optional[int] = None
+        self.batch_rows = 512
+        self.devices = 0  # 0 = all local devices
+
+
+def _uint(s: str, flag: str) -> int:
+    """istringstream >> unsigned semantics: leading integer parse; a fully
+    unparsable value is a fatal 'invalid option' (ntcard.cpp:371-374)."""
+    try:
+        return int(s)
+    except ValueError:
+        sys.stderr.write(f"{PROGRAM}: invalid option: `-{flag}{s}'\n")
+        raise SystemExit(1)
+
+
+def parse_args(argv: List[str]) -> tuple:
+    opt = Opts()
+    die = False
+    try:
+        optlist, args = getopt.gnu_getopt(
+            argv,
+            "t:s:r:k:c:l:p:f:o:g:",
+            [
+                "threads=",
+                "kmer=",
+                "gap=",
+                "cov=",
+                "rbit=",
+                "sbit=",
+                "output=",
+                "pref=",
+                "chunk-len=",
+                "batch-rows=",
+                "devices=",
+                "help",
+                "version",
+            ],
+        )
+    except getopt.GetoptError as e:
+        sys.stderr.write(f"{PROGRAM}: {e}\n")
+        sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
+        raise SystemExit(1)
+
+    for flag, val in optlist:
+        if flag in ("-t", "--threads"):
+            opt.n_thrd = _uint(val, "t")
+        elif flag in ("-s", "--sbit"):
+            opt.s_bits = _uint(val, "s")
+        elif flag in ("-r", "--rbit"):
+            opt.r_bits = _uint(val, "r")
+        elif flag in ("-c", "--cov"):
+            opt.cov_max = min(_uint(val, "c"), 65535)
+        elif flag in ("-p", "--pref"):
+            opt.prefix = val
+        elif flag in ("-o", "--output"):
+            opt.output = val
+        elif flag in ("-g", "--gap"):
+            opt.gap = _uint(val, "g")
+        elif flag in ("-k", "--kmer"):
+            for token in val.split(","):
+                opt.k_list.append(_uint(token, "k"))
+        elif flag == "--chunk-len":
+            opt.chunk_len = _uint(val, "-chunk-len")
+        elif flag == "--batch-rows":
+            opt.batch_rows = _uint(val, "-batch-rows")
+        elif flag == "--devices":
+            opt.devices = _uint(val, "-devices")
+        elif flag == "--help":
+            sys.stderr.write(USAGE_MESSAGE)
+            raise SystemExit(0)
+        elif flag == "--version":
+            sys.stderr.write(VERSION_MESSAGE)
+            raise SystemExit(0)
+        # -l / -f: consumed with their argument, no effect (reference
+        # shortopts list them with no switch case, ntcard.cpp:69)
+
+    if len(args) < 1:
+        sys.stderr.write(f"{PROGRAM}: missing arguments\n")
+        die = True
+    if opt.gap != 0 and opt.k_list and (opt.gap % 2 != opt.k_list[0] % 2):
+        sys.stderr.write(f"{PROGRAM}Gap size and kmer must have the same modulus\n")
+        die = True
+    if not opt.k_list:
+        sys.stderr.write(f"{PROGRAM}: missing argument -k ... \n")
+        die = True
+    if not opt.prefix and not opt.output:
+        sys.stderr.write(f"{PROGRAM}: missing argument -p/-o ... \n")
+        die = True
+    if opt.gap != 0 and len(opt.k_list) != 1:
+        sys.stderr.write(f"{PROGRAM}: -g does not support multiple k currently.\n")
+        die = True
+    if die:
+        sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
+        raise SystemExit(1)
+    return opt, args
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    s_time = time.monotonic()
+    opt, args = parse_args(sys.argv[1:] if argv is None else argv)
+
+    import jax
+
+    from ntcard_tpu.io.decompress import input_size
+    from ntcard_tpu.io.readers import expand_file_args
+    from ntcard_tpu.models.estimate import comp_est
+    from ntcard_tpu.models.sketch import CountTableSketch
+    from ntcard_tpu.output import write_compact, write_default
+    from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
+    from ntcard_tpu.pipeline import batches_from_files, default_geometry
+
+    in_files = expand_file_args(args)
+
+    # <50 GB heuristic overrides -s after parsing (ntcard.cpp:427-431).
+    total_size = sum(input_size(f) for f in in_files)
+    if total_size < 50_000_000_000:
+        opt.s_bits = 7
+
+    ks = opt.k_list
+    kmax = max(ks)
+    chunk_len, batch_rows = default_geometry(kmax)
+    if opt.chunk_len:
+        chunk_len = opt.chunk_len
+    batch_rows = opt.batch_rows
+
+    gap_positions = None
+    if opt.gap != 0:
+        # seed '1'*(k-g)/2 + '0'*g + '1'*(k-g)/2 (ntcard.cpp:407-413)
+        half = (ks[0] - opt.gap) // 2
+        gap_positions = tuple(range(half, half + opt.gap))
+
+    stride = chunk_len - (kmax - 1)
+    n_dev = opt.devices or len(jax.devices())
+    if n_dev > 1:
+        sketch = ShardedCountTableSketch(
+            ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions, n_devices=n_dev
+        )
+        batch_rows = max(128, batch_rows // n_dev) * n_dev
+    else:
+        sketch = CountTableSketch(
+            ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
+        )
+    for batch in batches_from_files(in_files, chunk_len, batch_rows, kmax):
+        sketch.update(batch)
+    state = sketch.finalize()
+
+    results = {}
+    for k in ks:
+        f0, f = comp_est(state[k]["table"], opt.s_bits, opt.r_bits, opt.cov_max)
+        results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
+
+    if not opt.output:
+        write_default(opt.prefix, ks, results, opt.cov_max)
+    else:
+        write_compact(opt.output, ks, results, opt.cov_max)
+
+    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,106 @@
+"""nthll command-line driver — flag-compatible with the reference
+(nthll.cpp:25-38 usage, :150-196 parsing): -t/--threads, -k/--kmer [64],
+hidden -b/--bit (register bits [16]) and -s/--sit (parsed, unused), -h and
+-c accepted (no-op: canonical hashing is always on, nthll.cpp:170-172)."""
+
+from __future__ import annotations
+
+import getopt
+import sys
+from typing import List, Optional
+
+PROGRAM = "nthll"
+
+VERSION_MESSAGE = (
+    "nthll-TPU 1.0.0 (capability parity with nthll 1.2.2)\n"
+    "A TPU-native HyperLogLog distinct k-mer estimator.\n"
+)
+
+USAGE_MESSAGE = f"""Usage: {PROGRAM} [OPTION]... FILE(S)...
+Estimates distinct number of k-mers in FILE(S).
+
+Acceptable file formats: fastq, fasta, sam, bam and in compressed formats gz, bz, zip, xz.
+Accepts a list of files by adding @ at the beginning of the list name.
+
+ Options:
+
+  -t, --threads=N\tuse N parallel threads [1] (N>=2 should be used when input files are >=2)
+  -k, --kmer=N\tthe length of kmer [64]
+      --help\tdisplay this help and exit
+      --version\toutput version information and exit
+
+Report bugs to https://github.com/bcgsc/ntCard/issues
+"""
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args_in = sys.argv[1:] if argv is None else argv
+    n_bits, km_len = 16, 64
+    try:
+        optlist, args = getopt.gnu_getopt(
+            args_in,
+            "t:k:b:s:hc",
+            ["threads=", "kmer=", "bit=", "sit=", "hash=", "help", "version"],
+        )
+    except getopt.GetoptError as e:
+        sys.stderr.write(f"{PROGRAM}: {e}\nTry `{PROGRAM} --help' for more information.\n")
+        return 1
+
+    def uint(s, flag):
+        try:
+            return int(s)
+        except ValueError:
+            sys.stderr.write(f"{PROGRAM}: invalid option: `-{flag}{s}'\n")
+            raise SystemExit(1)
+
+    for flag, val in optlist:
+        if flag in ("-t", "--threads"):
+            uint(val, "t")
+        elif flag in ("-k", "--kmer"):
+            km_len = uint(val, "k")
+        elif flag in ("-b", "--bit"):
+            n_bits = uint(val, "b")
+        elif flag in ("-s", "--sit"):
+            uint(val, "s")
+        # -h / -c / --hash: accepted, no effect
+        elif flag == "--help":
+            sys.stderr.write(USAGE_MESSAGE)
+            return 0
+        elif flag == "--version":
+            sys.stderr.write(VERSION_MESSAGE)
+            return 0
+
+    if len(args) < 1:
+        sys.stderr.write(f"{PROGRAM}: missing arguments\n")
+        sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
+        return 1
+
+    from ntcard_tpu.io.decompress import open_input
+    from ntcard_tpu.io.readers import expand_file_args, records_from_stream
+    from ntcard_tpu.models.hll import HllSketch, estimate_f0
+    from ntcard_tpu.pipeline import batches_from_files, default_geometry
+
+    in_files = expand_file_args(args)
+
+    def records():
+        for path in in_files:
+            try:
+                stream = open_input(path)
+            except OSError:
+                # nthll silently produces nothing for unreadable files
+                # (no error path in its reader loop, nthll.cpp:225-235)
+                continue
+            with stream:
+                yield from records_from_stream(stream, path, lenient=True)
+
+    chunk_len, batch_rows = default_geometry(km_len)
+    sketch = HllSketch(km_len, n_bits, chunk_len - (km_len - 1))
+    for batch in batches_from_files(in_files, chunk_len, batch_rows, km_len, records=records()):
+        sketch.update(batch)
+    f0 = estimate_f0(sketch.registers(), canon=True)
+    sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -66,6 +66,22 @@ def sniff(stream: IO[bytes]) -> Tuple[int, Optional[bytes]]:
     return ERR, None
 
 
+def sniff_lenient(stream: IO[bytes]) -> Tuple[int, Optional[bytes]]:
+    """nthll's sniffer (nthll.cpp:70-90): same as :func:`sniff` except any
+    non-'>'/'@' first line is treated as a headerless SAM alignment with NO
+    11-field sanity check — there is no error path."""
+    line = _getline(stream)
+    if line is None:
+        line = b""
+    if line[:1] == b">":
+        return FASTA, None
+    if line[:1] == b"@":
+        if line[1:3] in _SAM_HEADER_TAGS:
+            return SAM, None
+        return FASTQ, None
+    return SAM, line
+
+
 def fastq_records(stream: IO[bytes]) -> Iterator[bytes]:
     """4-line FASTQ records; the first header line was consumed by sniff()."""
     while True:
@@ -118,11 +134,13 @@ def sam_records(
             return
 
 
-def records_from_stream(stream: IO[bytes], path: str = "<stream>") -> Iterator[bytes]:
+def records_from_stream(
+    stream: IO[bytes], path: str = "<stream>", lenient: bool = False
+) -> Iterator[bytes]:
     """Sniff and iterate sequence records; raises ValueError on unknown
     format (the reference prints 'Error in reading file' and exits,
-    ntcard.cpp:459-462)."""
-    ftype, first = sniff(stream)
+    ntcard.cpp:459-462). ``lenient`` selects nthll's no-error sniffer."""
+    ftype, first = (sniff_lenient if lenient else sniff)(stream)
     if ftype == FASTQ:
         yield from fastq_records(stream)
     elif ftype == FASTA:

@@ -1,0 +1,58 @@
+"""nthll's HyperLogLog F0 estimator as a device-resident model.
+
+Reference: nthll.cpp:92-97 (register update), :218-245 (thread-private
+sketches merged by elementwise max under a critical section), :247-254
+(harmonic-mean estimate, no small/large-range corrections).
+
+TPU-natively the registers are a [2^nBits] int32 array updated by scatter-max
+(the fused hash+clz kernel ops/nthash.hll_scan feeds it); max commutes, so
+any batching/sharding is bit-exact, and the multi-shard merge is
+``jax.lax.pmax`` / elementwise max — the collective lift of the reference's
+critical-section merge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntcard_tpu.ops.nthash import hll_scan
+
+
+@partial(jax.jit, static_argnames=("k", "stride", "n_bits"), donate_argnums=(0,))
+def _update(regs, codes, k, stride, n_bits):
+    reg_idx, run0 = hll_scan(codes, k, stride, n_bits)
+    return regs.at[reg_idx].max(run0)
+
+
+class HllSketch:
+    def __init__(self, k: int, n_bits: int, stride: int):
+        self.k = k
+        self.n_bits = n_bits
+        self.n_buck = 1 << n_bits
+        self.stride = stride
+        self.regs = jnp.zeros((self.n_buck,), jnp.int32)
+
+    def update(self, codes: np.ndarray) -> None:
+        self.regs = _update(self.regs, codes, self.k, self.stride, self.n_bits)
+
+    def registers(self) -> np.ndarray:
+        return np.asarray(self.regs).astype(np.uint8)
+
+
+def estimate_f0(regs: np.ndarray, canon: bool = True) -> int:
+    """nthll.cpp:247-260 bit-for-bit: left-to-right float64 harmonic sum,
+    alpha halved for canonical hashing, final (unsigned long long) cast."""
+    n_buck = regs.shape[0]
+    alpha = 1.4426 / (1 + 1.079 / n_buck)
+    if canon:
+        alpha /= 2
+    p_est = 0.0
+    for v in regs:
+        p_est += 1.0 / float(1 << int(v))
+    z_est = 1.0 / p_est
+    e_est = alpha * n_buck * n_buck * z_est
+    return int(e_est)

@@ -1,0 +1,93 @@
+"""The ntCard sampled count-table sketch as a device-resident model.
+
+The reference keeps one shared ``uint16[nK][2][2^rBits]`` table updated with
+``#pragma omp atomic`` increments (ntcard.cpp:132-145, 437-439). TPU-natively
+the table is a pure functional state: per batch the fused hash+sample kernel
+(ops/nthash.sketch_scan) produces flat index streams, and a scatter-add folds
+them into per-k int32 tables. Addition commutes, so any batching/sharding
+order yields the same table; the uint16 wraparound of the reference is
+recovered exactly at finalization time by ``% 65536`` (int32 accumulation
+overflows only after 2^31 hits on one bucket — unreachable: each hit requires
+a sampled k-mer occurrence, and F1 fits well under 2^31 per bucket in any
+real workload; the wrap test covers the semantics).
+
+Sharding story (SURVEY.md §2.6): tables are private per data-parallel shard
+and merged by summation — the collective analog of the reference's atomics —
+so 1-shard and N-shard runs are bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntcard_tpu.ops.nthash import sketch_scan
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions"),
+    donate_argnums=(0, 1),
+)
+def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions):
+    """One batch step: tables/f1s are [nK, 2*rbuck+1] int32 / [nK] int64.
+
+    The +1 row is the sentinel dump for unsampled/invalid windows."""
+    idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions)
+    new_tables = []
+    new_f1s = []
+    for i, k in enumerate(ks):
+        new_tables.append(tables[i].at[idx[k]].add(1, mode="drop"))
+        new_f1s.append(f1s[i] + f1[k].astype(jnp.int64))
+    return jnp.stack(new_tables), jnp.stack(new_f1s)
+
+
+class CountTableSketch:
+    """Streaming ntcard sketch over one device.
+
+    feed [B, L] uint8 batches via :meth:`update`; :meth:`finalize` returns
+    the reference-equivalent uint16 tables and exact F1 counts."""
+
+    def __init__(
+        self,
+        ks: Sequence[int],
+        s_bits: int,
+        r_bits: int,
+        stride: int,
+        gap_positions: Sequence[int] | None = None,
+    ):
+        self.ks = tuple(ks)
+        self.s_bits = s_bits
+        self.r_bits = r_bits
+        self.stride = stride
+        self.gap_positions = tuple(gap_positions) if gap_positions else None
+        self.r_buck = 1 << r_bits
+        nk = len(self.ks)
+        self.tables = jnp.zeros((nk, 2 * self.r_buck + 1), jnp.int32)
+        self.f1s = jnp.zeros((nk,), jnp.int64)
+
+    def update(self, codes: np.ndarray) -> None:
+        self.tables, self.f1s = _update(
+            self.tables,
+            self.f1s,
+            codes,
+            self.ks,
+            self.stride,
+            self.s_bits,
+            self.r_bits,
+            self.gap_positions,
+        )
+
+    def finalize(self) -> Dict[int, dict]:
+        """-> {k: {"table": uint16[2, 2^rBits], "f1": int}} (device -> host)."""
+        tables = np.asarray(self.tables)
+        f1s = np.asarray(self.f1s)
+        out = {}
+        for i, k in enumerate(self.ks):
+            t = tables[i, : 2 * self.r_buck].astype(np.uint16)  # mod-2^16 wrap
+            out[k] = {"table": t.reshape(2, self.r_buck), "f1": int(f1s[i])}
+        return out

@@ -60,12 +60,46 @@ def _out_codes(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return _transposed(jnp.concatenate([pad, codes[:, : L - k]], axis=1))
 
 
+def _lagged_codes(codes: jnp.ndarray, lag: int) -> jnp.ndarray:
+    """Codes at stream position e-lag for each step e (N before start; N
+    contributes 0 to every hash, and such windows are invalid anyway)."""
+    if lag == 0:
+        return _transposed(codes)
+    B, L = codes.shape
+    pad = jnp.full((B, lag), np.uint8(N_CODE), jnp.uint8)
+    return _transposed(jnp.concatenate([pad, codes[:, : L - lag]], axis=1))
+
+
+def _mask_tables(k: int, mask_positions: Sequence[int]):
+    """Per masked position p: XOR-out tables for the spaced-seed hash
+    (NTMS64 semantics, nthash.hpp:575-602): the forward hash sheds
+    srol^(k-1-p)(seed(base)), the reverse sheds srol^p(seed(comp(base))).
+    Both read the base at window offset p = stream lag k-1-p."""
+    tabs = []
+    for p in mask_positions:
+        fwd = [C.rot_seed(b, k - 1 - p) for b in range(C.NUM_CODES)]
+        rev = [C.rot_seed(C.COMP_CODE[b], p) for b in range(C.NUM_CODES)]
+        f_hi, f_lo = zip(*(C.split_u64(v) for v in fwd))
+        r_hi, r_lo = zip(*(C.split_u64(v) for v in rev))
+        tabs.append(
+            dict(
+                lag=k - 1 - p,
+                f_hi=np.asarray(f_hi, np.uint32),
+                f_lo=np.asarray(f_lo, np.uint32),
+                r_hi=np.asarray(r_hi, np.uint32),
+                r_lo=np.asarray(r_lo, np.uint32),
+            )
+        )
+    return tabs
+
+
 def scan_stream(
     codes: jnp.ndarray,
     ks: Sequence[int],
     stride: int,
     emit_fns: Dict[int, EmitFn],
     want_f1: bool = True,
+    mask_positions: Sequence[int] | None = None,
 ):
     """Run the rolling-hash scan for every k in ``ks`` over a chunk batch.
 
@@ -80,6 +114,14 @@ def scan_stream(
     out_cTs = tuple(_out_codes(codes, k) for k in ks)
     tabs = {k: C.seed_tables_u32(k) for k in ks}
 
+    mask_tabs = ()
+    lag_cTs = ()
+    if mask_positions:
+        if len(ks) != 1:
+            raise ValueError("spaced seeds support a single k only (reference parity)")
+        mask_tabs = tuple(_mask_tables(ks[0], mask_positions))
+        lag_cTs = tuple(_lagged_codes(codes, mt["lag"]) for mt in mask_tabs)
+
     z = jnp.zeros((Bs, 128), jnp.uint32)
     carry = {
         "runlen": jnp.zeros((Bs, 128), jnp.int32),
@@ -90,10 +132,10 @@ def scan_stream(
         carry["f1"] = {k: jnp.zeros((Bs, 128), jnp.int32) for k in ks}
 
     es = jnp.arange(L, dtype=jnp.int32)
-    xs = (es, in_cT, out_cTs)
+    xs = (es, in_cT, out_cTs, lag_cTs)
 
     def step(carry, x):
-        e, in_c, outs = x
+        e, in_c, outs, lags = x
         runlen = jnp.where(in_c == N_CODE, 0, carry["runlen"] + 1)
         new = {"runlen": runlen, "fh": {}, "rh": {}}
         if want_f1:
@@ -117,7 +159,13 @@ def scan_stream(
             # window [e-k+1, e] is valid iff its k bases are all non-N, and is
             # owned by this chunk iff its start lies in [0, stride).
             owned_valid = (runlen >= k) & (e >= k - 1) & (e < stride + k - 1)
-            ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
+            eh_hi, eh_lo, er_hi, er_lo = fh_hi, fh_lo, rh_hi, rh_lo
+            for mt, lag_c in zip(mask_tabs, lags):
+                eh_hi = eh_hi ^ u64.lut5(lag_c, mt["f_hi"])
+                eh_lo = eh_lo ^ u64.lut5(lag_c, mt["f_lo"])
+                er_hi = er_hi ^ u64.lut5(lag_c, mt["r_hi"])
+                er_lo = er_lo ^ u64.lut5(lag_c, mt["r_lo"])
+            ch, cl = u64.min64(eh_hi, eh_lo, er_hi, er_lo)
             ys[k] = emit_fns[k](ch, cl, owned_valid)
             if want_f1:
                 new["f1"][k] = carry["f1"][k] + owned_valid.astype(jnp.int32)
@@ -141,18 +189,23 @@ def _owned(y: jnp.ndarray, k: int, stride: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def canonical_hashes(codes: jnp.ndarray, k: int, stride: int):
-    """Canonical 64-bit hashes of every owned window.
+def canonical_hashes(
+    codes: jnp.ndarray, k: int, stride: int, mask_positions: Sequence[int] | None = None
+):
+    """Canonical 64-bit hashes of every owned window (spaced-seed hashes when
+    ``mask_positions`` is given).
 
     Returns (hi, lo, valid), each [B, S]: hi/lo uint32 halves of NTC64 and a
     bool mask of N-free fully-in-stream windows. Primarily the test/API
-    surface (parity with ntHashIterator + NTC64)."""
+    surface (parity with ntHashIterator + NTC64 / stHashIterator + NTMS64)."""
     B, L = codes.shape
 
     def emit(ch, cl, valid):
         return ch, cl, valid
 
-    _, ys = scan_stream(codes, (k,), stride, {k: emit}, want_f1=False)
+    _, ys = scan_stream(
+        codes, (k,), stride, {k: emit}, want_f1=False, mask_positions=mask_positions
+    )
     ch, cl, valid = ys[k]
 
     def fix(a):  # [L, Bs, 128] -> [B, S]
@@ -198,12 +251,15 @@ def sketch_scan(
     stride: int,
     s_bits: int,
     r_bits: int,
+    mask_positions: Sequence[int] | None = None,
 ) -> Tuple[Dict[int, jnp.ndarray], Dict[int, jnp.ndarray]]:
     """Fused hash+sample kernel for ntcard: per k, a flat [S*B] int32 array of
     count-table indices (sentinel 2^(r_bits+1) where no update) plus the exact
     valid-window count (F1 contribution)."""
     emit = make_sketch_emit(s_bits, r_bits)
-    f1, ys = scan_stream(codes, tuple(ks), stride, {k: emit for k in ks})
+    f1, ys = scan_stream(
+        codes, tuple(ks), stride, {k: emit for k in ks}, mask_positions=mask_positions
+    )
     idx = {k: _owned(ys[k], k, stride) for k in ks}
     return idx, f1
 

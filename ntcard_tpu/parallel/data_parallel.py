@@ -1,0 +1,150 @@
+"""Data-parallel scale-out over a device mesh.
+
+The reference's parallel model is OpenMP threads over files mutating one
+shared atomic table (ntcard.cpp:445-467). The TPU-native lift (SURVEY.md
+§2.6): shard the packed read-batch rows over a 1-D ``data`` mesh with
+``shard_map``; every device folds its rows into a *private* count table
+(HLL register set); the merge is a single summation (elementwise max) over
+the device axis — the collective analog of the reference's atomics
+(critical-section max-merge, nthll.cpp:238-244). Both folds commute, so
+1-shard and N-shard runs produce bit-identical tables by construction
+(tested in tests/test_sharding.py).
+
+Multi-host: the same mesh spans hosts (jax.distributed.initialize); each
+host packs only its slice of the input files, feeds its addressable shards,
+and the final jnp.sum/jnp.max runs as a psum/pmax over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ntcard_tpu.ops.nthash import hll_scan, sketch_scan
+
+
+def data_mesh(n_devices: int = 0) -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "ks", "stride", "s_bits", "r_bits", "mask_positions"),
+    donate_argnums=(0, 1),
+)
+def _sketch_update_sharded(tables, f1s, codes, mesh, ks, stride, s_bits, r_bits, mask_positions):
+    """tables [D, nK, 2*rbuck+1] / f1s [D, nK] sharded on D; codes [D*B, L]
+    sharded on rows. Each device folds its rows into its private table."""
+
+    def local(tbl, f1, c):
+        tbl, f1 = tbl[0], f1[0]
+        idx, f1k = sketch_scan(c, ks, stride, s_bits, r_bits, mask_positions)
+        new_t = []
+        new_f = []
+        for i, k in enumerate(ks):
+            new_t.append(tbl[i].at[idx[k]].add(1, mode="drop"))
+            new_f.append(f1[i] + f1k[k].astype(jnp.int64))
+        return jnp.stack(new_t)[None], jnp.stack(new_f)[None]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )(tables, f1s, codes)
+
+
+class ShardedCountTableSketch:
+    """Drop-in for models.sketch.CountTableSketch over an N-device mesh."""
+
+    def __init__(
+        self,
+        ks: Sequence[int],
+        s_bits: int,
+        r_bits: int,
+        stride: int,
+        gap_positions: Sequence[int] | None = None,
+        n_devices: int = 0,
+    ):
+        self.ks = tuple(ks)
+        self.s_bits = s_bits
+        self.r_bits = r_bits
+        self.stride = stride
+        self.gap_positions = tuple(gap_positions) if gap_positions else None
+        self.r_buck = 1 << r_bits
+        self.mesh = data_mesh(n_devices)
+        self.n_dev = self.mesh.devices.size
+        nk = len(self.ks)
+        shard = NamedSharding(self.mesh, P("data"))
+        self.tables = jax.device_put(
+            jnp.zeros((self.n_dev, nk, 2 * self.r_buck + 1), jnp.int32), shard
+        )
+        self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk), jnp.int64), shard)
+        self._row_sharding = shard
+
+    def update(self, codes: np.ndarray) -> None:
+        """codes: [n_dev * rows, L] with rows a multiple of 128."""
+        codes = jax.device_put(codes, self._row_sharding)
+        self.tables, self.f1s = _sketch_update_sharded(
+            self.tables,
+            self.f1s,
+            codes,
+            self.mesh,
+            self.ks,
+            self.stride,
+            self.s_bits,
+            self.r_bits,
+            self.gap_positions,
+        )
+
+    def finalize(self) -> Dict[int, dict]:
+        tables = np.asarray(jnp.sum(self.tables, axis=0))  # merge: psum analog
+        f1s = np.asarray(jnp.sum(self.f1s, axis=0))
+        out = {}
+        for i, k in enumerate(self.ks):
+            t = tables[i, : 2 * self.r_buck].astype(np.uint16)  # mod-2^16 wrap
+            out[k] = {"table": t.reshape(2, self.r_buck), "f1": int(f1s[i])}
+        return out
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "stride", "n_bits"), donate_argnums=(0,))
+def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits):
+    def local(r, c):
+        reg_idx, run0 = hll_scan(c, k, stride, n_bits)
+        return r[0].at[reg_idx].max(run0)[None]
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,
+    )(regs, codes)
+
+
+class ShardedHllSketch:
+    def __init__(self, k: int, n_bits: int, stride: int, n_devices: int = 0):
+        self.k = k
+        self.n_bits = n_bits
+        self.n_buck = 1 << n_bits
+        self.stride = stride
+        self.mesh = data_mesh(n_devices)
+        self.n_dev = self.mesh.devices.size
+        shard = NamedSharding(self.mesh, P("data"))
+        self.regs = jax.device_put(jnp.zeros((self.n_dev, self.n_buck), jnp.int32), shard)
+        self._row_sharding = shard
+
+    def update(self, codes: np.ndarray) -> None:
+        codes = jax.device_put(codes, self._row_sharding)
+        self.regs = _hll_update_sharded(
+            self.regs, codes, self.mesh, self.k, self.stride, self.n_bits
+        )
+
+    def registers(self) -> np.ndarray:
+        return np.asarray(jnp.max(self.regs, axis=0)).astype(np.uint8)  # pmax analog

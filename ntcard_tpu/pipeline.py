@@ -1,0 +1,60 @@
+"""Host-side streaming pipeline: files -> records -> packed batches -> device.
+
+The reference parallelizes *across files* with a shared atomic table
+(ntcard.cpp:445-467) — its main perf weakness (a single big file is serial).
+Here every file's records feed one packed stream (order irrelevant: the
+sketch is a commutative fold), cut into dense [B, L] batches that stream to
+the device sketch. Record boundaries are N separators, so per-record window
+semantics are preserved exactly (ops/nthash.py docstring).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from ntcard_tpu.io.decompress import open_input
+from ntcard_tpu.io.packing import StreamPacker
+from ntcard_tpu.io.readers import records_from_stream
+
+
+def iter_file_records(paths: Sequence[str]) -> Iterator[bytes]:
+    """All sequence records of all input files, with the reference's error
+    contract: unreadable/unknown-format file -> message + exit(1)
+    (ntcard.cpp:459-462)."""
+    for path in paths:
+        try:
+            stream = open_input(path)
+        except (OSError, ValueError):
+            print(f"Error in reading file: {path}", file=sys.stderr)
+            raise SystemExit(1)
+        with stream:
+            try:
+                yield from records_from_stream(stream, path)
+            except ValueError:
+                print(f"Error in reading file: {path}", file=sys.stderr)
+                raise SystemExit(1)
+
+
+def batches_from_files(
+    paths: Sequence[str],
+    chunk_len: int,
+    batch_rows: int,
+    kmax: int,
+    records: Optional[Iterable[bytes]] = None,
+) -> Iterator[np.ndarray]:
+    """Dense [batch_rows, chunk_len] uint8 batches over all input records."""
+    packer = StreamPacker(chunk_len, batch_rows, kmax)
+    recs = records if records is not None else iter_file_records(paths)
+    for rec in recs:
+        yield from packer.feed(rec)
+    yield from packer.finish()
+
+
+def default_geometry(kmax: int, target_chunk: int = 1024, batch_rows: int = 512):
+    """Pick (chunk_len, batch_rows): chunk_len comfortably above kmax so halo
+    overhead (kmax-1)/chunk_len stays small."""
+    chunk_len = max(target_chunk, 8 * kmax)
+    return chunk_len, batch_rows

@@ -186,7 +186,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         half = (ks[0] - opt.gap) // 2
         gap_positions = tuple(range(half, half + opt.gap))
 
-    stride = chunk_len - (kmax - 1)
+    from ntcard_tpu.io.packing import aligned_stride
+
+    stride = aligned_stride(chunk_len, kmax)
     n_dev = opt.devices or len(jax.devices())
     if n_dev > 1:
         sketch = ShardedCountTableSketch(

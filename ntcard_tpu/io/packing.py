@@ -25,6 +25,18 @@ import numpy as np
 from ntcard_tpu.constants import ASCII_TO_CODE, N
 
 
+def aligned_stride(chunk_len: int, kmax: int) -> int:
+    """Owned window starts per chunk: at most chunk_len - (kmax-1) so every
+    window is fully in-chunk, rounded DOWN to a multiple of 8 — the TPU
+    sublane tile. Arrays whose major dimension is not tile-aligned make every
+    vector op dramatically slower, so the kernel's [stride, B] shapes must be
+    aligned; the extra overlap (< 8 bases) is just a slightly larger halo."""
+    s = ((chunk_len - kmax + 1) // 8) * 8
+    if s < 8:
+        raise ValueError(f"chunk_len ({chunk_len}) too small for kmax ({kmax})")
+    return s
+
+
 class StreamPacker:
     """Incremental packer: feed records, collect ``[B, L]`` uint8 batches."""
 
@@ -37,7 +49,7 @@ class StreamPacker:
             raise ValueError("batch_rows must be a multiple of 128")
         self.chunk_len = chunk_len
         self.batch_rows = batch_rows
-        self.stride = chunk_len - (kmax - 1)
+        self.stride = aligned_stride(chunk_len, kmax)
         # bases covered by one batch's owned starts:
         self._batch_span = self.batch_rows * self.stride
         # bases that must be buffered before a batch can be emitted:

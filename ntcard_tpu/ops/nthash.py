@@ -1,191 +1,184 @@
-"""Batched canonical ntHash over packed base streams — the TPU hot kernel.
+"""Batched canonical ntHash over packed base streams — the TPU hot kernel,
+in the *rotated-prefix-XOR* formulation.
 
-Design (TPU-first, not a port of the reference's per-read iterator):
+The reference's rolling recurrence (nthash.hpp:242-257) is inherently
+sequential. On TPU we exploit that srol (P) is a linear bit permutation and
+XOR is associative. With the derotated contribution g(j) = P^(-j)(seed(b_j))
+and its inclusive prefix XOR X(j), the forward hash of the window starting at
+i is P^(i+k-1)(X(i+k-1) ^ X(i-1)) (nthash.hpp:220-239 algebra). Distributing
+the rotation over the XOR and pre-rotating the prefixes once,
 
-* The host packs *all* input records into one N-separated base-code stream,
-  cut into fixed-length chunks of ``L`` bases with a ``kmax-1``-base halo
-  (stride ``S = L - kmax + 1``). A batch is a dense ``[B, L]`` uint8 array —
-  contigs, short reads and SAM records all become the same layout, at ~99%
-  lane occupancy. Chunk ``c`` *owns* the windows starting at local positions
-  ``[0, S)``; halo windows are recomputed (owned) by the next chunk, so every
-  window of the stream is counted exactly once.
+    Y(m)  = P^m( X(m) ),        Yc(m) = P^(-(m+1))( Xc(m) ),
+    F(i)  = Y(i+k-1)  ^ P^k( Y(i-1) ),
+    R(i)  = P^k( Yc(i+k-1) ) ^ Yc(i-1),
 
-* The kernel is a single ``lax.scan`` over the L positions with the batch
-  spread across VPU lanes as ``[B/128, 128]`` registers. Each step advances
-  the forward and reverse-complement rolling hashes of every k in the k-list.
-  The ntHash rolling recurrences are *exactly windowed* (each base's
-  contribution is added on entry and removed bit-exactly k steps later, and
-  N contributes 0 both ways — see ops/nthash_ref.py), so the scan rolls
-  blindly through N bases and padding with **no data-dependent control
-  flow**; a running non-N run-length masks invalid windows afterwards. This
-  replaces the reference iterator's N-skip/re-init branches
-  (ntHashIterator.hpp:59-86) with pure vector ops.
+where gc(j) = P^j(seed(comp b_j)) feeds Xc. The entire computation is then:
 
-* 64-bit hash words are (hi, lo) uint32 pairs (utils/u64.py).
+  * 4 gathers into tiny (5 x 1023)-entry pre-rotated seed tables (P has
+    period lcm(33,31) = 1023) — TPU gathers from VMEM-resident tables are
+    fast;
+  * 2 inclusive prefix-XORs (``associative_scan`` along the *major* axis —
+    log-depth, cheap);
+  * 2 variable-amount rotations (Y, Yc) — amortized over every k — computed
+    with multiply/multiply-high by per-position power-of-two constants
+    (ops/rotations.py srol_var_mul): no variable shift ops, which the TPU
+    vector unit handles poorly;
+  * per k: one constant P^k rotation + XOR + canonical min + emit.
 
-Behavioral parity targets: ntHashIterator semantics (reads shorter than k
-yield nothing; windows containing non-ACGT/U are skipped), NTC64 canonical
-values (vendor/ntHash/nthash.hpp:260-279), ntcard's sampling predicate
-(ntcard.cpp:132-145) and nthll's HLL update (nthll.cpp:92-97).
+Multi-k is nearly free (X/Y are k-independent). Spaced seeds strip masked
+positions p as P^(k-1-p)(seed(b_{i+p})) / P^p(seed(comp b_{i+p})) — gathers
+into 5-entry constant tables (NTMS64 semantics, nthash.hpp:575-617). N bases
+contribute seed 0 and are masked by a prefix count, replacing the reference
+iterator's N-skip branches (ntHashIterator.hpp:59-86).
+
+Validity/ownership: a chunk of length L owns window starts i in [0, stride);
+a window is emitted iff its k bases are N-free. Reads shorter than k yield
+nothing by construction (their N separators bound the run).
+
+Layout: device compute is position-major [L, B] (batch across lanes, so all
+per-position constants are materialized full-shape — lane-broadcasts of
+row-constant arrays compile poorly on TPU). 64-bit hashes ride as (hi, lo)
+uint32 pairs.
+
+The equivalent per-position sequential implementation is kept in
+ops/nthash_scan.py as a cross-check oracle for this kernel.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from functools import lru_cache
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ntcard_tpu import constants as C
+from ntcard_tpu.ops import rotations as R
 from ntcard_tpu.utils import u64
 
 N_CODE = C.N
-
-EmitFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], object]
-
-
-def _transposed(codes: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] uint8 -> [L, B//128, 128] (position-major for the scan)."""
-    B, L = codes.shape
-    if B % 128:
-        raise ValueError(f"batch rows must be a multiple of 128, got {B}")
-    return codes.T.reshape(L, B // 128, 128)
+PERIOD = 33 * 31  # order of the srol permutation
 
 
-def _out_codes(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Codes of the base *leaving* the k-window at each step (N for e<k)."""
-    B, L = codes.shape
-    pad = jnp.full((B, k), np.uint8(N_CODE), jnp.uint8)
-    return _transposed(jnp.concatenate([pad, codes[:, : L - k]], axis=1))
+@lru_cache(maxsize=None)
+def _gather_tables() -> Dict[str, np.ndarray]:
+    """(5*1023)-entry pre-rotated seed tables:
+    f[jm*5+b]  = P^(-jm)(seed(b))      (forward, derotated)
+    c[jm*5+b]  = P^(+jm)(seed(comp b)) (reverse)"""
+    f = np.empty(PERIOD * 5, np.uint64)
+    c = np.empty(PERIOD * 5, np.uint64)
+    for jm in range(PERIOD):
+        for b in range(5):
+            f[jm * 5 + b] = C.srol_n(C.SEEDS[b], (-jm) % PERIOD)
+            c[jm * 5 + b] = C.srol_n(C.SEEDS[C.COMP_CODE[b]], jm)
+    return {
+        "f_hi": (f >> np.uint64(32)).astype(np.uint32),
+        "f_lo": (f & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        "c_hi": (c >> np.uint64(32)).astype(np.uint32),
+        "c_lo": (c & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    }
 
 
-def _lagged_codes(codes: jnp.ndarray, lag: int) -> jnp.ndarray:
-    """Codes at stream position e-lag for each step e (N before start; N
-    contributes 0 to every hash, and such windows are invalid anyway)."""
-    if lag == 0:
-        return _transposed(codes)
-    B, L = codes.shape
-    pad = jnp.full((B, lag), np.uint8(N_CODE), jnp.uint8)
-    return _transposed(jnp.concatenate([pad, codes[:, : L - lag]], axis=1))
+def _position_consts(L: int, B: int):
+    """Per-position index arrays, derived in-kernel from an iota so nothing
+    large is embedded in the program: the seed-gather base jm*5 and the
+    rotation-amount residues for Y (amount m) and Yc (amount -(m+1))."""
+    m = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
+    i33 = m % 33
+    i31 = m % 31
+    jm5 = (m % PERIOD) * 5
+    # -(m+1) mod 33 == 32 - (m mod 33); likewise 30 - (m mod 31)
+    return jm5, (i33, i31), (32 - i33, 30 - i31)
 
 
-def _mask_tables(k: int, mask_positions: Sequence[int]):
-    """Per masked position p: XOR-out tables for the spaced-seed hash
-    (NTMS64 semantics, nthash.hpp:575-602): the forward hash sheds
-    srol^(k-1-p)(seed(base)), the reverse sheds srol^p(seed(comp(base))).
-    Both read the base at window offset p = stream lag k-1-p."""
-    tabs = []
-    for p in mask_positions:
-        fwd = [C.rot_seed(b, k - 1 - p) for b in range(C.NUM_CODES)]
-        rev = [C.rot_seed(C.COMP_CODE[b], p) for b in range(C.NUM_CODES)]
-        f_hi, f_lo = zip(*(C.split_u64(v) for v in fwd))
-        r_hi, r_lo = zip(*(C.split_u64(v) for v in rev))
-        tabs.append(
-            dict(
-                lag=k - 1 - p,
-                f_hi=np.asarray(f_hi, np.uint32),
-                f_lo=np.asarray(f_lo, np.uint32),
-                r_hi=np.asarray(r_hi, np.uint32),
-                r_lo=np.asarray(r_lo, np.uint32),
-            )
-        )
-    return tabs
+def _xor_pair_scan(hi, lo):
+    """Inclusive prefix-XOR of a (hi, lo) u64 stream along axis 0."""
+    return jax.lax.associative_scan(
+        lambda a, b: (a[0] ^ b[0], a[1] ^ b[1]), (hi, lo), axis=0
+    )
 
 
-def scan_stream(
+def _shift_prev(x):
+    """x(m) -> x(m-1) along axis 0 with x(-1) = 0, keeping only rows [0, S)."""
+    return jnp.pad(x[:-1], ((1, 0), (0, 0)))
+
+
+def window_hashes(
     codes: jnp.ndarray,
     ks: Sequence[int],
     stride: int,
-    emit_fns: Dict[int, EmitFn],
-    want_f1: bool = True,
     mask_positions: Sequence[int] | None = None,
-):
-    """Run the rolling-hash scan for every k in ``ks`` over a chunk batch.
+) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Canonical (spaced) window hashes for every k.
 
-    Returns ``(f1, ys)`` where ``f1[k]`` is the exact count of owned valid
-    windows (the reference's per-read totKmer sum, ntcard.cpp:155) and
-    ``ys[k]`` is the stacked per-step emit output with leading axis L.
-    Callers slice steps ``[k-1 : stride+k-1)`` to get the S owned windows.
-    """
+    codes: [B, L] uint8. Returns {k: (hi, lo, valid)}, each [stride, B]
+    (position-major)."""
     B, L = codes.shape
-    Bs = B // 128
-    in_cT = _transposed(codes)
-    out_cTs = tuple(_out_codes(codes, k) for k in ks)
-    tabs = {k: C.seed_tables_u32(k) for k in ks}
+    if mask_positions and len(ks) != 1:
+        raise ValueError("spaced seeds support a single k only (reference parity)")
 
-    mask_tabs = ()
-    lag_cTs = ()
-    if mask_positions:
-        if len(ks) != 1:
-            raise ValueError("spaced seeds support a single k only (reference parity)")
-        mask_tabs = tuple(_mask_tables(ks[0], mask_positions))
-        lag_cTs = tuple(_lagged_codes(codes, mt["lag"]) for mt in mask_tabs)
+    cT = codes.T.astype(jnp.int32)  # [L, B]
+    jm5, ky, kyc = _position_consts(L, B)
+    tabs = _gather_tables()
 
-    z = jnp.zeros((Bs, 128), jnp.uint32)
-    carry = {
-        "runlen": jnp.zeros((Bs, 128), jnp.int32),
-        "fh": {k: (z, z) for k in ks},
-        "rh": {k: (z, z) for k in ks},
-    }
-    if want_f1:
-        carry["f1"] = {k: jnp.zeros((Bs, 128), jnp.int32) for k in ks}
+    gidx = jm5 + cT
+    g_hi = jnp.asarray(tabs["f_hi"])[gidx]
+    g_lo = jnp.asarray(tabs["f_lo"])[gidx]
+    gc_hi = jnp.asarray(tabs["c_hi"])[gidx]
+    gc_lo = jnp.asarray(tabs["c_lo"])[gidx]
 
-    es = jnp.arange(L, dtype=jnp.int32)
-    xs = (es, in_cT, out_cTs, lag_cTs)
+    x_hi, x_lo = _xor_pair_scan(g_hi, g_lo)
+    xc_hi, xc_lo = _xor_pair_scan(gc_hi, gc_lo)
+    # materialize the prefix scans: without a barrier XLA fuses them into
+    # every downstream gather and recomputes the scan per consumer
+    x_hi, x_lo, xc_hi, xc_lo = jax.lax.optimization_barrier((x_hi, x_lo, xc_hi, xc_lo))
 
-    def step(carry, x):
-        e, in_c, outs, lags = x
-        runlen = jnp.where(in_c == N_CODE, 0, carry["runlen"] + 1)
-        new = {"runlen": runlen, "fh": {}, "rh": {}}
-        if want_f1:
-            new["f1"] = {}
-        ys = {}
-        for i, k in enumerate(ks):
-            t = tabs[k]
-            out_c = outs[i]
-            fh_hi, fh_lo = carry["fh"][k]
-            rh_hi, rh_lo = carry["rh"][k]
-            # forward: F' = srol(F) ^ seed(in) ^ srol^k(seed(out))
-            fh_hi, fh_lo = u64.srol(fh_hi, fh_lo)
-            fh_hi = fh_hi ^ u64.lut5(in_c, t["seed_f_hi"]) ^ u64.lut5(out_c, t["rotk_f_hi"])
-            fh_lo = fh_lo ^ u64.lut5(in_c, t["seed_f_lo"]) ^ u64.lut5(out_c, t["rotk_f_lo"])
-            # reverse: R' = sror( R ^ srol^k(seed(comp(in))) ^ seed(comp(out)) )
-            th = rh_hi ^ u64.lut5(in_c, t["rotk_c_hi"]) ^ u64.lut5(out_c, t["seed_c_hi"])
-            tl = rh_lo ^ u64.lut5(in_c, t["rotk_c_lo"]) ^ u64.lut5(out_c, t["seed_c_lo"])
-            rh_hi, rh_lo = u64.sror(th, tl)
-            new["fh"][k] = (fh_hi, fh_lo)
-            new["rh"][k] = (rh_hi, rh_lo)
-            # window [e-k+1, e] is valid iff its k bases are all non-N, and is
-            # owned by this chunk iff its start lies in [0, stride).
-            owned_valid = (runlen >= k) & (e >= k - 1) & (e < stride + k - 1)
-            eh_hi, eh_lo, er_hi, er_lo = fh_hi, fh_lo, rh_hi, rh_lo
-            for mt, lag_c in zip(mask_tabs, lags):
-                eh_hi = eh_hi ^ u64.lut5(lag_c, mt["f_hi"])
-                eh_lo = eh_lo ^ u64.lut5(lag_c, mt["f_lo"])
-                er_hi = er_hi ^ u64.lut5(lag_c, mt["r_hi"])
-                er_lo = er_lo ^ u64.lut5(lag_c, mt["r_lo"])
-            ch, cl = u64.min64(eh_hi, eh_lo, er_hi, er_lo)
-            ys[k] = emit_fns[k](ch, cl, owned_valid)
-            if want_f1:
-                new["f1"][k] = carry["f1"][k] + owned_valid.astype(jnp.int32)
-        return new, ys
+    y_hi, y_lo = R.srol_var_gather(x_hi, x_lo, *ky)
+    yc_hi, yc_lo = R.srol_var_gather(xc_hi, xc_lo, *kyc)
+    y_hi, y_lo, yc_hi, yc_lo = jax.lax.optimization_barrier((y_hi, y_lo, yc_hi, yc_lo))
 
-    final, ys = jax.lax.scan(step, carry, xs)
-    f1 = None
-    if want_f1:
-        f1 = {k: jnp.sum(final["f1"][k]) for k in ks}
-    return f1, ys
+    ncnt = jnp.cumsum((cT == N_CODE).astype(jnp.int32), axis=0)
 
+    S = stride
+    yp_hi, yp_lo = _shift_prev(y_hi)[:S], _shift_prev(y_lo)[:S]
+    ycp_hi, ycp_lo = _shift_prev(yc_hi)[:S], _shift_prev(yc_lo)[:S]
+    ncnt_p = _shift_prev(ncnt)[:S]
 
-def _owned(y: jnp.ndarray, k: int, stride: int) -> jnp.ndarray:
-    """Slice the stacked [L, Bs, 128] per-step output down to the S owned
-    steps for this k and flatten to [S * B]."""
-    return jax.lax.slice_in_dim(y, k - 1, stride + k - 1, axis=0).reshape(-1)
+    out = {}
+    for k in ks:
+        end = slice(k - 1, k - 1 + S)
+        # F(i) = Y(i+k-1) ^ P^k(Y(i-1))
+        pk_hi, pk_lo = R.srol_const(yp_hi, yp_lo, k)
+        fh_hi = y_hi[end] ^ pk_hi
+        fh_lo = y_lo[end] ^ pk_lo
+        # R(i) = P^k(Yc(i+k-1)) ^ Yc(i-1)
+        qk_hi, qk_lo = R.srol_const(yc_hi[end], yc_lo[end], k)
+        rh_hi = qk_hi ^ ycp_hi
+        rh_lo = qk_lo ^ ycp_lo
+
+        if mask_positions:
+            # strip masked position p: F ^= P^(k-1-p)(seed(b_{i+p})),
+            #                          R ^= P^p(seed(comp b_{i+p}))
+            for p in mask_positions:
+                cp = cT[p : p + S]
+                ft = np.array([C.split_u64(C.rot_seed(b, k - 1 - p)) for b in range(5)], np.uint32)
+                rt = np.array(
+                    [C.split_u64(C.rot_seed(C.COMP_CODE[b], p)) for b in range(5)], np.uint32
+                )
+                fh_hi = fh_hi ^ jnp.asarray(ft[:, 0])[cp]
+                fh_lo = fh_lo ^ jnp.asarray(ft[:, 1])[cp]
+                rh_hi = rh_hi ^ jnp.asarray(rt[:, 0])[cp]
+                rh_lo = rh_lo ^ jnp.asarray(rt[:, 1])[cp]
+
+        valid = (ncnt[end] - ncnt_p) == 0
+        ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
+        out[k] = (ch, cl, valid)
+    return out
 
 
 # ---------------------------------------------------------------------------
-# Public kernels
+# Public kernels (API shared with ops/nthash_scan.py)
 # ---------------------------------------------------------------------------
 
 
@@ -193,29 +186,13 @@ def canonical_hashes(
     codes: jnp.ndarray, k: int, stride: int, mask_positions: Sequence[int] | None = None
 ):
     """Canonical 64-bit hashes of every owned window (spaced-seed hashes when
-    ``mask_positions`` is given).
-
-    Returns (hi, lo, valid), each [B, S]: hi/lo uint32 halves of NTC64 and a
-    bool mask of N-free fully-in-stream windows. Primarily the test/API
-    surface (parity with ntHashIterator + NTC64 / stHashIterator + NTMS64)."""
-    B, L = codes.shape
-
-    def emit(ch, cl, valid):
-        return ch, cl, valid
-
-    _, ys = scan_stream(
-        codes, (k,), stride, {k: emit}, want_f1=False, mask_positions=mask_positions
-    )
-    ch, cl, valid = ys[k]
-
-    def fix(a):  # [L, Bs, 128] -> [B, S]
-        a = jax.lax.slice_in_dim(a, k - 1, stride + k - 1, axis=0)
-        return a.reshape(stride, B).T
-
-    return fix(ch), fix(cl), fix(valid)
+    ``mask_positions`` is given): (hi, lo, valid), each [B, stride]. Parity
+    surface for ntHashIterator + NTC64 / stHashIterator + NTMS64."""
+    ch, cl, valid = window_hashes(codes, (k,), stride, mask_positions)[k]
+    return ch.T, cl.T, valid.T
 
 
-def make_sketch_emit(s_bits: int, r_bits: int) -> EmitFn:
+def make_sketch_emit(s_bits: int, r_bits: int):
     """ntcard's sampling + bucketing (ntcard.cpp:132-145), reproduced exactly:
 
       sample 0 iff hVal >> (63-sBits) == 1        (rate 2^-(sBits+1))
@@ -233,13 +210,13 @@ def make_sketch_emit(s_bits: int, r_bits: int) -> EmitFn:
         raise ValueError(f"r_bits must be in [1,28], got {r_bits}")
     r_buck = 1 << r_bits
     s_mask = (1 << (s_bits - 1)) - 1
-    sentinel = jnp.int32(2 * r_buck)
+    sentinel = np.int32(2 * r_buck)
 
     def emit(ch, cl, valid):
-        s0 = (ch >> jnp.uint32(31 - s_bits)) == jnp.uint32(1)
-        s1 = (ch >> jnp.uint32(32 - s_bits)) == jnp.uint32(s_mask)
-        bucket = (cl & jnp.uint32(r_buck - 1)).astype(jnp.int32)
-        bucket = bucket + jnp.where(s1, jnp.int32(r_buck), jnp.int32(0))
+        s0 = (ch >> np.uint32(31 - s_bits)) == np.uint32(1)
+        s1 = (ch >> np.uint32(32 - s_bits)) == np.uint32(s_mask)
+        bucket = (cl & np.uint32(r_buck - 1)).astype(jnp.int32)
+        bucket = bucket + jnp.where(s1, np.int32(r_buck), np.int32(0))
         return jnp.where(valid & (s0 | s1), bucket, sentinel)
 
     return emit
@@ -257,30 +234,33 @@ def sketch_scan(
     count-table indices (sentinel 2^(r_bits+1) where no update) plus the exact
     valid-window count (F1 contribution)."""
     emit = make_sketch_emit(s_bits, r_bits)
-    f1, ys = scan_stream(
-        codes, tuple(ks), stride, {k: emit for k in ks}, mask_positions=mask_positions
-    )
-    idx = {k: _owned(ys[k], k, stride) for k in ks}
+    hashes = window_hashes(codes, tuple(ks), stride, mask_positions)
+    idx = {}
+    f1 = {}
+    for k in ks:
+        ch, cl, valid = hashes[k]
+        idx[k] = emit(ch, cl, valid).reshape(-1)
+        f1[k] = jnp.sum(valid.astype(jnp.int32))
     return idx, f1
 
 
-def make_hll_emit(n_bits: int) -> EmitFn:
+def make_hll_emit(n_bits: int):
     """nthll's register update inputs (nthll.cpp:92-97): register index =
     hVal & (2^n_bits - 1); value = clz64(hVal & ~(2^n_bits-1)), or 0 when that
     masked value is 0 or the window is invalid (max with 0 is a no-op)."""
     if not (1 <= n_bits <= 31):
         raise ValueError(f"n_bits must be in [1,31], got {n_bits}")
-    mask = jnp.uint32((1 << n_bits) - 1) if n_bits < 32 else jnp.uint32(0xFFFFFFFF)
+    mask = np.uint32((1 << n_bits) - 1) if n_bits < 32 else np.uint32(0xFFFFFFFF)
 
     def emit(ch, cl, valid):
         lo_m = cl & ~mask
         clz = jnp.where(
             ch != 0,
             jax.lax.clz(ch),
-            jnp.uint32(32) + jax.lax.clz(lo_m),
+            np.uint32(32) + jax.lax.clz(lo_m),
         ).astype(jnp.int32)
         nonzero = (ch != 0) | (lo_m != 0)
-        run0 = jnp.where(valid & nonzero, clz, jnp.int32(0))
+        run0 = jnp.where(valid & nonzero, clz, np.int32(0))
         reg = (cl & mask).astype(jnp.int32)
         return reg, run0
 
@@ -290,6 +270,6 @@ def make_hll_emit(n_bits: int) -> EmitFn:
 def hll_scan(codes: jnp.ndarray, k: int, stride: int, n_bits: int):
     """Fused hash+HLL kernel for nthll: flat [S*B] (register index, run0)."""
     emit = make_hll_emit(n_bits)
-    _, ys = scan_stream(codes, (k,), stride, {k: emit}, want_f1=False)
-    reg, run0 = ys[k]
-    return _owned(reg, k, stride), _owned(run0, k, stride)
+    ch, cl, valid = window_hashes(codes, (k,), stride)[k]
+    reg, run0 = emit(ch, cl, valid)
+    return reg.reshape(-1), run0.reshape(-1)

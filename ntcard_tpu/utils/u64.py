@@ -8,35 +8,42 @@ uint32 shifts/xors per step.
 
 All functions are shape-polymorphic elementwise jnp ops (usable inside jit,
 scan, shard_map, and Pallas kernels alike).
+
+IMPORTANT dtype rule: scalar constants must be Python/numpy literals, never
+``jnp.uint32(...)`` module-level arrays — a committed device array captured
+by a jit is lifted as a buffer parameter instead of an inline literal, which
+turns every shift into a variable-amount shift (catastrophic on the TPU
+vector unit: minutes of compile, ~100x slower code).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-U1 = jnp.uint32(1)
-U31 = jnp.uint32(31)
+_U1 = np.uint32(1)
+_U31 = np.uint32(31)
 
 
 def srol(hi, lo):
     """Split-rotate left by one: rol1 then swap bits 0<->33.
 
     Semantics of nthash.hpp:186-211 (rol1 + swapbits033)."""
-    nh = (hi << U1) | (lo >> U31)
-    nl = (lo << U1) | (hi >> U31)
+    nh = (hi << _U1) | (lo >> _U31)
+    nl = (lo << _U1) | (hi >> _U31)
     # bit0 (nl&1) and bit33 (bit1 of nh) swap; xor by their difference.
-    x = (nl ^ (nh >> U1)) & U1
-    return nh ^ (x << U1), nl ^ x
+    x = (nl ^ (nh >> _U1)) & _U1
+    return nh ^ (x << _U1), nl ^ x
 
 
 def sror(hi, lo):
     """Split-rotate right by one: ror1 then swap bits 32<->63
     (nthash.hpp:191-217). Inverse of :func:`srol`."""
-    nh = (hi >> U1) | (lo << U31)
-    nl = (lo >> U1) | (hi << U31)
+    nh = (hi >> _U1) | (lo << _U31)
+    nl = (lo >> _U1) | (hi << _U31)
     # bit32 (nh&1) and bit63 (bit31 of nh) swap.
-    x = (nh ^ (nh >> U31)) & U1
-    return nh ^ (x | (x << U31)), nl
+    x = (nh ^ (nh >> _U31)) & _U1
+    return nh ^ (x | (x << _U31)), nl
 
 
 def lt(a_hi, a_lo, b_hi, b_lo):
@@ -55,7 +62,7 @@ def lut5(code, table5):
     select chain — guaranteed to stay elementwise on the VPU (no gather).
 
     ``table5`` is a length-5 numpy uint32 array (host constant)."""
-    out = jnp.full(code.shape, jnp.uint32(int(table5[4])))
+    out = jnp.full(code.shape, np.uint32(table5[4]))
     for i in range(4):
-        out = jnp.where(code == i, jnp.uint32(int(table5[i])), out)
+        out = jnp.where(code == i, np.uint32(table5[i]), out)
     return out

@@ -37,7 +37,9 @@ def oracle_hash_multiset(records, k):
 def kernel_hash_multiset(records, k, chunk_len, batch_rows, kmax=None):
     kmax = kmax or k
     fn = jax.jit(canonical_hashes, static_argnums=(1, 2))
-    stride = chunk_len - (kmax - 1)
+    from ntcard_tpu.io.packing import aligned_stride
+
+    stride = aligned_stride(chunk_len, kmax)
     c = Counter()
     total = 0
     for batch in pack_records(records, chunk_len, batch_rows, kmax):

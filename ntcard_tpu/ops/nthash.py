@@ -60,36 +60,24 @@ from ntcard_tpu.utils import u64
 N_CODE = C.N
 PERIOD = 33 * 31  # order of the srol permutation
 
-
-@lru_cache(maxsize=None)
-def _gather_tables() -> Dict[str, np.ndarray]:
-    """(5*1023)-entry pre-rotated seed tables:
-    f[jm*5+b]  = P^(-jm)(seed(b))      (forward, derotated)
-    c[jm*5+b]  = P^(+jm)(seed(comp b)) (reverse)"""
-    f = np.empty(PERIOD * 5, np.uint64)
-    c = np.empty(PERIOD * 5, np.uint64)
-    for jm in range(PERIOD):
-        for b in range(5):
-            f[jm * 5 + b] = C.srol_n(C.SEEDS[b], (-jm) % PERIOD)
-            c[jm * 5 + b] = C.srol_n(C.SEEDS[C.COMP_CODE[b]], jm)
-    return {
-        "f_hi": (f >> np.uint64(32)).astype(np.uint32),
-        "f_lo": (f & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        "c_hi": (c >> np.uint64(32)).astype(np.uint32),
-        "c_lo": (c & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-    }
+# (5,) uint32 seed luts: forward seeds and complement seeds (host constants).
+_SEED_HI = np.asarray([C.split_u64(s)[0] for s in C.SEEDS], np.uint32)
+_SEED_LO = np.asarray([C.split_u64(s)[1] for s in C.SEEDS], np.uint32)
+_CSEED_HI = np.asarray([C.split_u64(C.SEEDS[C.COMP_CODE[b]])[0] for b in range(5)], np.uint32)
+_CSEED_LO = np.asarray([C.split_u64(C.SEEDS[C.COMP_CODE[b]])[1] for b in range(5)], np.uint32)
 
 
 def _position_consts(L: int, B: int):
-    """Per-position index arrays, derived in-kernel from an iota so nothing
-    large is embedded in the program: the seed-gather base jm*5 and the
-    rotation-amount residues for Y (amount m) and Yc (amount -(m+1))."""
+    """Per-position rotation-amount residues, derived in-kernel from an iota
+    so nothing large is embedded in the program: amounts for P^(-m) (the
+    derotation of g), P^m (Y) and P^(-(m+1)) (Yc)."""
     m = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
     i33 = m % 33
     i31 = m % 31
-    jm5 = (m % PERIOD) * 5
-    # -(m+1) mod 33 == 32 - (m mod 33); likewise 30 - (m mod 31)
-    return jm5, (i33, i31), (32 - i33, 30 - i31)
+    # (-m) mod 33 == (33 - i33) mod 33; select avoids a second modulo
+    mneg = (jnp.where(i33 == 0, 0, 33 - i33), jnp.where(i31 == 0, 0, 31 - i31))
+    # -(m+1) mod 33 == 32 - i33; likewise 30 - i31
+    return mneg, (i33, i31), (32 - i33, 30 - i31)
 
 
 def _xor_pair_scan(hi, lo):
@@ -118,25 +106,24 @@ def window_hashes(
     if mask_positions and len(ks) != 1:
         raise ValueError("spaced seeds support a single k only (reference parity)")
 
-    cT = codes.T.astype(jnp.int32)  # [L, B]
-    jm5, ky, kyc = _position_consts(L, B)
-    tabs = _gather_tables()
+    cT = codes.T  # [L, B] uint8
+    mneg, ky, kyc = _position_consts(L, B)
 
-    gidx = jm5 + cT
-    g_hi = jnp.asarray(tabs["f_hi"])[gidx]
-    g_lo = jnp.asarray(tabs["f_lo"])[gidx]
-    gc_hi = jnp.asarray(tabs["c_hi"])[gidx]
-    gc_lo = jnp.asarray(tabs["c_lo"])[gidx]
+    # g(j) = P^(-j)(seed(b_j)), gc(j) = P^(+j)(seed(comp b_j)): select-chain
+    # seed lookup + iota-amount rotation — no gathers anywhere (gathers cost
+    # ~60ms per pass on this backend; fused elementwise ops are free).
+    s_hi = u64.lut5(cT, _SEED_HI)
+    s_lo = u64.lut5(cT, _SEED_LO)
+    g_hi, g_lo = R.srol_var_iota(s_hi, s_lo, *mneg)
+    c_hi = u64.lut5(cT, _CSEED_HI)
+    c_lo = u64.lut5(cT, _CSEED_LO)
+    gc_hi, gc_lo = R.srol_var_iota(c_hi, c_lo, *ky)
 
     x_hi, x_lo = _xor_pair_scan(g_hi, g_lo)
     xc_hi, xc_lo = _xor_pair_scan(gc_hi, gc_lo)
-    # materialize the prefix scans: without a barrier XLA fuses them into
-    # every downstream gather and recomputes the scan per consumer
-    x_hi, x_lo, xc_hi, xc_lo = jax.lax.optimization_barrier((x_hi, x_lo, xc_hi, xc_lo))
 
-    y_hi, y_lo = R.srol_var_gather(x_hi, x_lo, *ky)
-    yc_hi, yc_lo = R.srol_var_gather(xc_hi, xc_lo, *kyc)
-    y_hi, y_lo, yc_hi, yc_lo = jax.lax.optimization_barrier((y_hi, y_lo, yc_hi, yc_lo))
+    y_hi, y_lo = R.srol_var_iota(x_hi, x_lo, *ky)
+    yc_hi, yc_lo = R.srol_var_iota(xc_hi, xc_lo, *kyc)
 
     ncnt = jnp.cumsum((cT == N_CODE).astype(jnp.int32), axis=0)
 
@@ -166,10 +153,10 @@ def window_hashes(
                 rt = np.array(
                     [C.split_u64(C.rot_seed(C.COMP_CODE[b], p)) for b in range(5)], np.uint32
                 )
-                fh_hi = fh_hi ^ jnp.asarray(ft[:, 0])[cp]
-                fh_lo = fh_lo ^ jnp.asarray(ft[:, 1])[cp]
-                rh_hi = rh_hi ^ jnp.asarray(rt[:, 0])[cp]
-                rh_lo = rh_lo ^ jnp.asarray(rt[:, 1])[cp]
+                fh_hi = fh_hi ^ u64.lut5(cp, ft[:, 0])
+                fh_lo = fh_lo ^ u64.lut5(cp, ft[:, 1])
+                rh_hi = rh_hi ^ u64.lut5(cp, rt[:, 0])
+                rh_lo = rh_lo ^ u64.lut5(cp, rt[:, 1])
 
         valid = (ncnt[end] - ncnt_p) == 0
         ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)

@@ -125,6 +125,45 @@ def srol_var_mul(hi, lo, K):
     return (rot31 << one) | bit32, low
 
 
+def _pow2_u32(n):
+    """2^n as uint32 for n int32 in [0, 31], with no variable shifts, no
+    gathers, no multiplies: build the float32 bit pattern (exponent 127+n,
+    zero mantissa) with a constant shift, bitcast, and convert — exact for
+    powers of two."""
+    import jax
+
+    f = jax.lax.bitcast_convert_type(((n + 127) << 23).astype(jnp.int32), jnp.float32)
+    return jax.lax.convert_element_type(f, jnp.uint32)
+
+
+def srol_var_iota(hi, lo, n33, n31):
+    """P^n elementwise with per-element amounts given as residue arrays
+    n33 = n mod 33 (int32, [0,32]) and n31 = n mod 31 (int32, [0,30]),
+    typically derived from a positional iota.
+
+    Entirely multiply / add / constant-shift / select ops: the power-of-two
+    multipliers are synthesized from the residues with the float-exponent
+    bit trick, so there are no gathers, no broadcasts of small arrays, and
+    no variable-amount shifts — the three op classes this TPU backend
+    mishandles. See srol_var_mul for the rotation algebra."""
+    z = jnp.zeros_like(hi)
+    c31 = _pow2_u32(n31)
+    c31b = _pow2_u32(n31 + 1)  # n31+1 in [1,31]: always in range
+    cl33 = jnp.where(n33 == 32, z, _pow2_u32(jnp.minimum(n33, 31)))
+    cd33 = jnp.where(n33 == 0, z, _pow2_u32(jnp.maximum(n33 - 1, 0)))
+    m32 = jnp.where(n33 == 0, z, _pow2_u32(32 - jnp.maximum(n33, 1)))
+
+    one = np.uint32(1)
+    r31 = hi >> one
+    rot31 = ((r31 * c31) & MASK31) | _mulhi(r31, c31b >> _U16, c31b & _M16)
+    a = lo
+    b = hi & one
+    t2 = _mulhi(a, cd33 >> _U16, cd33 & _M16) | (b * cd33)
+    low = (a * cl33) | t2
+    bit32 = ((a & m32) != 0).astype(jnp.uint32) | jnp.where(n33 == 0, b, z)
+    return (rot31 << one) | bit32, low
+
+
 # ---------------------------------------------------------------------------
 # Gather-based variable rotation.
 #

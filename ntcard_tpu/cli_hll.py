@@ -75,27 +75,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
         return 1
 
-    from ntcard_tpu.io.decompress import open_input
-    from ntcard_tpu.io.readers import expand_file_args, records_from_stream
+    from ntcard_tpu.io.packing import aligned_stride
+    from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
     from ntcard_tpu.pipeline import batches_from_files, default_geometry
 
     in_files = expand_file_args(args)
 
-    def records():
-        for path in in_files:
-            try:
-                stream = open_input(path)
-            except OSError:
-                # nthll silently produces nothing for unreadable files
-                # (no error path in its reader loop, nthll.cpp:225-235)
-                continue
-            with stream:
-                yield from records_from_stream(stream, path, lenient=True)
-
     chunk_len, batch_rows = default_geometry(km_len)
-    sketch = HllSketch(km_len, n_bits, chunk_len - (km_len - 1))
-    for batch in batches_from_files(in_files, chunk_len, batch_rows, km_len, records=records()):
+    sketch = HllSketch(km_len, n_bits, aligned_stride(chunk_len, km_len))
+    # nthll silently skips unreadable files and sniffs leniently
+    # (no error path in its reader loop, nthll.cpp:70-90, 225-235)
+    for batch in batches_from_files(
+        in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
+    ):
         sketch.update(batch)
     f0 = estimate_f0(sketch.registers(), canon=True)
     sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")

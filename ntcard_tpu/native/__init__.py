@@ -1,0 +1,157 @@
+"""Native host layer: C++ decode+pack, built on demand with g++ and driven
+via ctypes (no pybind11 in the environment). Falls back transparently to the
+pure-Python path (io/readers.py + io/packing.py) if the toolchain is
+unavailable — both implementations are semantics-identical and cross-tested
+in tests/test_native_packer.py."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_TRIED = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    src = _HERE / "packer.cpp"
+    so = _HERE / "_packer.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(so), str(src),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.packer_create.restype = ctypes.c_void_p
+    lib.packer_create.argtypes = [ctypes.c_int] * 4
+    lib.packer_destroy.argtypes = [ctypes.c_void_p]
+    lib.packer_stride.restype = ctypes.c_int
+    lib.packer_stride.argtypes = [ctypes.c_void_p]
+    lib.packer_feed.restype = ctypes.c_long
+    lib.packer_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.packer_end_file.restype = ctypes.c_long
+    lib.packer_end_file.argtypes = [ctypes.c_void_p]
+    lib.packer_flush.restype = ctypes.c_long
+    lib.packer_flush.argtypes = [ctypes.c_void_p]
+    lib.packer_pop.restype = ctypes.c_int
+    lib.packer_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.packer_stats.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    with _LOCK:
+        if not _LIB_TRIED:
+            _LIB = _build_lib()
+            _LIB_TRIED = True
+        return _LIB
+
+
+class NativePacker:
+    """C++ decode+pack over raw decompressed byte streams."""
+
+    def __init__(self, chunk_len: int, batch_rows: int, kmax: int, lenient: bool = False):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native packer unavailable")
+        self._lib = lib
+        self._h = lib.packer_create(chunk_len, batch_rows, kmax, int(lenient))
+        self.chunk_len = chunk_len
+        self.batch_rows = batch_rows
+        self.stride = lib.packer_stride(self._h)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.packer_destroy(h)
+            self._h = None
+
+    def _pop_all(self) -> Iterator[np.ndarray]:
+        while True:
+            out = np.empty((self.batch_rows, self.chunk_len), np.uint8)
+            if not self._lib.packer_pop(self._h, out.ctypes.data_as(ctypes.c_void_p)):
+                return
+            yield out
+
+    def feed_bytes(self, data: bytes) -> Iterator[np.ndarray]:
+        r = self._lib.packer_feed(self._h, data, len(data))
+        if r < 0:
+            raise ValueError("unrecognized input format")
+        yield from self._pop_all()
+
+    def end_file(self) -> Iterator[np.ndarray]:
+        r = self._lib.packer_end_file(self._h)
+        if r < 0:
+            raise ValueError("unrecognized input format")
+        yield from self._pop_all()
+
+    def flush(self) -> Iterator[np.ndarray]:
+        self._lib.packer_flush(self._h)
+        yield from self._pop_all()
+
+    def stats(self):
+        rec = ctypes.c_longlong()
+        bases = ctypes.c_longlong()
+        self._lib.packer_stats(self._h, ctypes.byref(rec), ctypes.byref(bases))
+        return rec.value, bases.value
+
+
+def native_batches_from_files(
+    paths: Sequence[str],
+    chunk_len: int,
+    batch_rows: int,
+    kmax: int,
+    lenient: bool = False,
+    io_chunk: int = 1 << 22,
+    on_error: str = "exit",
+) -> Iterator[np.ndarray]:
+    """Native-path equivalent of pipeline.batches_from_files.
+
+    on_error="exit": unreadable/unknown-format file -> message + exit(1)
+    (ntcard contract, ntcard.cpp:459-462); "skip": silently skip unreadable
+    files (nthll contract — its reader loop has no error path)."""
+    import sys
+
+    from ntcard_tpu.io.decompress import open_input
+
+    packer = NativePacker(chunk_len, batch_rows, kmax, lenient)
+    for path in paths:
+        try:
+            stream = open_input(path)
+        except (OSError, ValueError):
+            if on_error == "skip":
+                continue
+            print(f"Error in reading file: {path}", file=sys.stderr)
+            raise SystemExit(1)
+        with stream:
+            try:
+                while True:
+                    data = stream.read(io_chunk)
+                    if not data:
+                        break
+                    yield from packer.feed_bytes(data)
+                yield from packer.end_file()
+            except ValueError:
+                print(f"Error in reading file: {path}", file=sys.stderr)
+                raise SystemExit(1)
+    yield from packer.flush()

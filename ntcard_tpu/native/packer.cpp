@@ -1,0 +1,315 @@
+// Native host decode + pack layer.
+//
+// Replaces the per-record Python path (io/readers.py + io/packing.py) with a
+// single incremental C++ state machine: raw (already-decompressed) bytes in,
+// dense [batch_rows, chunk_len] base-code batches out. Semantics are
+// bit-identical to the Python implementations, which in turn replicate the
+// reference parsers (ntcard.cpp:105-235):
+//   * lines split on '\n' only; '\r' is kept (hashes as N)
+//   * sniffer rules of getftype (ntcard.cpp:105-130); lenient mode = nthll's
+//     no-error variant (nthll.cpp:70-90)
+//   * FASTQ: 4-line records, record counted only once its quality line
+//     completed (ntcard.cpp:173-189)
+//   * FASTA: wrapped lines concatenated until the next '>' or EOF; every '>'
+//     yields exactly one (possibly empty) record (ntcard.cpp:191-208)
+//   * SAM: skip '@' header lines, take whitespace field 10; short lines
+//     inherit the previous line's remaining fields (istringstream semantics,
+//     ntcard.cpp:210-235)
+//   * packing: records joined by single N separators into one code stream,
+//     cut into chunk_len-long rows at the tile-aligned stride (halo overlap)
+//     — StreamPacker semantics (io/packing.py)
+//
+// Built as a plain shared library, driven through ctypes (no pybind11 in
+// this image). All heavy loops run with the GIL released.
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <string>
+#include <vector>
+
+namespace {
+
+uint8_t CODE[256];
+struct CodeInit {
+  CodeInit() {
+    memset(CODE, 4, sizeof(CODE));
+    CODE['A'] = CODE['a'] = 0;
+    CODE['C'] = CODE['c'] = 1;
+    CODE['G'] = CODE['g'] = 2;
+    CODE['T'] = CODE['t'] = 3;
+    CODE['U'] = CODE['u'] = 3;
+  }
+} code_init;
+
+constexpr int FMT_UNKNOWN = -1, FMT_FASTQ = 0, FMT_FASTA = 1, FMT_SAM = 2,
+              FMT_ERR = 3;
+
+struct Packer {
+  // geometry
+  int chunk_len, batch_rows, kmax, stride;
+  size_t batch_span, need;
+  // code stream
+  std::vector<uint8_t> buf;
+  size_t n = 0;     // filled bytes
+  size_t real = 0;  // real (non-pad) bytes
+  std::deque<std::vector<uint8_t>> ready;
+  long long records = 0, bases = 0;
+  // parser state
+  bool lenient;
+  int fmt = FMT_UNKNOWN;
+  bool sniffed = false;
+  std::string line;  // partial line
+  int fq_phase = 0;  // 0=seq 1='+' 2=qual 3=header
+  std::string fq_seq;
+  std::string fa_seq;
+  bool fa_open = false;
+  std::string sam_fields[11];
+  bool finished_stream = false;
+
+  Packer(int cl, int br, int km, bool len)
+      : chunk_len(cl), batch_rows(br), kmax(km), lenient(len) {
+    stride = ((cl - km + 1) / 8) * 8;
+    batch_span = (size_t)batch_rows * stride;
+    need = (size_t)(batch_rows - 1) * stride + chunk_len;
+    buf.resize(need + 2 * (size_t)chunk_len);
+  }
+
+  void grow(size_t extra) {
+    if (n + extra > buf.size()) buf.resize(std::max(n + extra, buf.size() * 2));
+  }
+
+  void emit_batches() {
+    while (n >= need) {
+      std::vector<uint8_t> out((size_t)batch_rows * chunk_len);
+      for (int r = 0; r < batch_rows; r++)
+        memcpy(out.data() + (size_t)r * chunk_len, buf.data() + (size_t)r * stride,
+               chunk_len);
+      ready.push_back(std::move(out));
+      size_t rest = n - batch_span;
+      memmove(buf.data(), buf.data() + batch_span, rest);
+      n = rest;
+      real = real > batch_span ? real - batch_span : 0;
+    }
+  }
+
+  void add_record(const char* s, size_t m) {
+    records++;
+    bases += (long long)m;
+    grow(m + 1);
+    uint8_t* dst = buf.data() + n;
+    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
+    dst[m] = 4;  // N separator
+    n += m + 1;
+    real = n;
+    emit_batches();
+  }
+  void add_record(const std::string& s) { add_record(s.data(), s.size()); }
+
+  static bool is_number(const std::string& t) {
+    if (t.empty()) return false;
+    for (char c : t)
+      if (c < '0' || c > '9') return false;
+    return true;
+  }
+
+  void split_ws(const std::string& l, std::vector<std::string>& out) {
+    out.clear();
+    size_t i = 0, m = l.size();
+    while (i < m) {
+      while (i < m && isspace((unsigned char)l[i])) i++;
+      size_t s = i;
+      while (i < m && !isspace((unsigned char)l[i])) i++;
+      if (i > s) out.push_back(l.substr(s, i - s));
+    }
+  }
+
+  void sniff(const std::string& l) {
+    sniffed = true;
+    if (!l.empty() && l[0] == '>') {
+      fmt = FMT_FASTA;
+      fa_open = true;  // first record started by the consumed header
+      return;
+    }
+    if (!l.empty() && l[0] == '@') {
+      if (l.size() >= 3) {
+        const char a = l[1], b = l[2];
+        if ((a == 'H' && b == 'D') || (a == 'S' && b == 'Q') ||
+            (a == 'R' && b == 'G') || (a == 'P' && b == 'G') ||
+            (a == 'C' && b == 'O')) {
+          fmt = FMT_SAM;
+          return;  // header mode: skip further '@' lines
+        }
+      }
+      fmt = FMT_FASTQ;
+      fq_phase = 0;  // header consumed; next line is the sequence
+      return;
+    }
+    if (lenient) {
+      fmt = FMT_SAM;
+      sam_line(l, /*headerless_first=*/true);
+      return;
+    }
+    std::vector<std::string> f;
+    split_ws(l, f);
+    if (f.size() >= 11 && is_number(f[1]) && is_number(f[4])) {
+      fmt = FMT_SAM;
+      sam_line(l, /*headerless_first=*/true);
+      return;
+    }
+    fmt = FMT_ERR;
+  }
+
+  void sam_line(const std::string& l, bool headerless_first) {
+    if (!headerless_first && !l.empty() && l[0] == '@') return;  // header line
+    std::vector<std::string> toks;
+    split_ws(l, toks);
+    size_t m = toks.size() < 11 ? toks.size() : 11;
+    for (size_t i = 0; i < m; i++) sam_fields[i] = std::move(toks[i]);
+    add_record(sam_fields[9]);
+  }
+
+  void handle_line(const char* s, size_t m) {
+    if (!sniffed) {
+      sniff(std::string(s, m));
+      return;
+    }
+    switch (fmt) {
+      case FMT_FASTQ:
+        switch (fq_phase) {
+          case 0: fq_seq.assign(s, m); fq_phase = 1; break;
+          case 1: fq_phase = 2; break;        // '+'
+          case 2: add_record(fq_seq); fq_phase = 3; break;  // qual completed
+          default: fq_phase = 0; break;       // next record's header
+        }
+        break;
+      case FMT_FASTA:
+        if (m && s[0] == '>') {
+          add_record(fa_seq);
+          fa_seq.clear();
+        } else {
+          fa_seq.append(s, m);
+        }
+        break;
+      case FMT_SAM:
+        sam_line(std::string(s, m), false);
+        break;
+      default:
+        break;  // FMT_ERR: ignore the rest
+    }
+  }
+
+  void feed(const uint8_t* data, size_t m) {
+    size_t i = 0;
+    // carry-over from the previous chunk
+    if (!line.empty()) {
+      const void* p = memchr(data, '\n', m);
+      if (!p) {
+        line.append((const char*)data, m);
+        return;
+      }
+      size_t j = (const uint8_t*)p - data;
+      line.append((const char*)data, j);
+      handle_line(line.data(), line.size());
+      line.clear();
+      i = j + 1;
+    }
+    while (i < m) {
+      const void* p = memchr(data + i, '\n', m - i);
+      if (!p) {
+        line.append((const char*)data + i, m - i);
+        break;
+      }
+      size_t j = (const uint8_t*)p - data;
+      handle_line((const char*)data + i, j - i);
+      i = j + 1;
+    }
+  }
+
+  void finish_stream() {
+    if (finished_stream) return;
+    finished_stream = true;
+    // a trailing line without '\n' still counts as a line (C++ getline)
+    if (!line.empty()) {
+      handle_line(line.data(), line.size());
+      line.clear();
+    }
+    // FASTA's accumulated last record is emitted at EOF
+    if (fmt == FMT_FASTA && fa_open) {
+      add_record(fa_seq);
+      fa_seq.clear();
+      fa_open = false;
+    }
+    // reset per-file parser state (stream-level packing state persists so
+    // multiple files share one packed stream)
+    sniffed = false;
+    fmt = FMT_UNKNOWN;
+    fq_phase = 0;
+    fq_seq.clear();
+    finished_stream = false;
+    for (auto& f : sam_fields) f.clear();
+  }
+
+  long flush_pad() {
+    // pad with N until every real base's windows have an owning chunk
+    while (real > 0) {
+      grow(need - n);
+      memset(buf.data() + n, 4, need - n);
+      n = need;
+      emit_batches();
+    }
+    n = 0;
+    real = 0;
+    return (long)ready.size();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* packer_create(int chunk_len, int batch_rows, int kmax, int lenient) {
+  return new Packer(chunk_len, batch_rows, kmax, lenient != 0);
+}
+
+void packer_destroy(void* h) { delete (Packer*)h; }
+
+int packer_stride(void* h) { return ((Packer*)h)->stride; }
+
+// feed raw decompressed bytes; returns number of ready batches (or -1 if the
+// stream's format could not be recognized)
+long packer_feed(void* h, const uint8_t* data, long m) {
+  Packer* p = (Packer*)h;
+  p->feed(data, (size_t)m);
+  if (p->fmt == FMT_ERR) return -1;
+  return (long)p->ready.size();
+}
+
+// end of current file: flush parser state; returns ready batches (-1 on
+// unrecognized format)
+long packer_end_file(void* h) {
+  Packer* p = (Packer*)h;
+  bool err = p->sniffed && p->fmt == FMT_ERR;
+  p->finish_stream();
+  return err ? -1 : (long)p->ready.size();
+}
+
+// end of all input: pad and emit the final partial batch(es)
+long packer_flush(void* h) { return ((Packer*)h)->flush_pad(); }
+
+// pop one ready batch into out (batch_rows*chunk_len bytes); 1 on success
+int packer_pop(void* h, uint8_t* out) {
+  Packer* p = (Packer*)h;
+  if (p->ready.empty()) return 0;
+  memcpy(out, p->ready.front().data(), p->ready.front().size());
+  p->ready.pop_front();
+  return 1;
+}
+
+void packer_stats(void* h, long long* records, long long* bases) {
+  Packer* p = (Packer*)h;
+  *records = p->records;
+  *bases = p->bases;
+}
+
+}  // extern "C"

@@ -1,0 +1,126 @@
+"""The native C++ decode+pack layer must produce byte-identical batch
+streams to the pure-Python readers+packer path, across formats and edge
+cases."""
+
+import gzip
+import shutil
+
+import numpy as np
+import pytest
+
+from ntcard_tpu.io.decompress import open_input
+from ntcard_tpu.io.packing import StreamPacker
+from ntcard_tpu.io.readers import records_from_stream
+from ntcard_tpu.native import get_lib, native_batches_from_files
+
+from pathlib import Path
+
+DATA = Path(__file__).parent / "data"
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
+
+CHUNK, ROWS, KMAX = 256, 128, 32
+
+
+def python_batches(paths, lenient=False):
+    packer = StreamPacker(CHUNK, ROWS, KMAX)
+    out = []
+    for path in paths:
+        with open_input(str(path)) as f:
+            for rec in records_from_stream(f, str(path), lenient=lenient):
+                out.extend(packer.feed(rec))
+    out.extend(packer.finish())
+    return out
+
+
+def native_batches(paths, lenient=False):
+    return list(
+        native_batches_from_files([str(p) for p in paths], CHUNK, ROWS, KMAX, lenient)
+    )
+
+
+@pytest.mark.parametrize("src", ["reads.fq", "reads-rna.fq", "reads.fa", "reads.sam", "contig.fa"])
+def test_formats_match_python(src):
+    want = python_batches([DATA / src])
+    got = native_batches([DATA / src])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_multi_file_match(tmp_path):
+    paths = [DATA / "reads.fq", DATA / "contig.fa", DATA / "reads.sam"]
+    want = python_batches(paths)
+    got = native_batches(paths)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gzip_input(tmp_path):
+    gz = tmp_path / "reads.fq.gz"
+    with open(DATA / "reads.fq", "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    want = python_batches([DATA / "reads.fq"])
+    got = native_batches([gz])
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_edge_cases(tmp_path):
+    # no trailing newline, CR retention, empty records, short reads, N runs
+    fq = tmp_path / "edge.fq"
+    fq.write_bytes(
+        b"@r1\nACGTNNACGT\r\n+\nIIIIIIIIII\n"
+        b"@r2\n\n+\n\n"
+        b"@r3\nACG\n+\nIII"  # no trailing newline: qual line still read
+    )
+    fa = tmp_path / "edge.fa"
+    fa.write_bytes(b">a\nACGT\nACGT\n>b\n>c\nNNN")
+    for p in (fq, fa):
+        want = python_batches([p])
+        got = native_batches([p])
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_truncated_fastq_drops_partial(tmp_path):
+    fq = tmp_path / "trunc.fq"
+    fq.write_bytes(b"@r1\nACGTACGT\n+\nIIIIIIII\n@r2\nACGTACGT\n+\n")  # qual missing
+    want = python_batches([fq])
+    got = native_batches([fq])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sam_short_line_persistence(tmp_path):
+    sam = tmp_path / "p.sam"
+    sam.write_bytes(
+        b"@HD\tVN:1.6\n"
+        b"r1\t0\tc\t1\t60\t*\t*\t0\t0\tACGTACGT\tIIIIIIII\n"
+        b"r2\t0\tc\n"  # short line: SEQ inherits previous ACGTACGT
+    )
+    want = python_batches([sam])
+    got = native_batches([sam])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_unknown_format_errors(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("not a sequence file at all\n")
+    with pytest.raises(SystemExit):
+        native_batches([bad])
+
+
+def test_lenient_mode_accepts_garbage(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("only three fields\n")
+    want = python_batches([bad], lenient=True)
+    got = native_batches([bad], lenient=True)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)

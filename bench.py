@@ -83,9 +83,9 @@ def measure_reference(fq: Path) -> float:
 def measure_ours(fq: Path) -> float:
     import ntcard_tpu  # noqa: F401
     from ntcard_tpu.io.packing import StreamPacker, aligned_stride
-    from ntcard_tpu.models.estimate import comp_est
+    from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import CountTableSketch
-    from ntcard_tpu.pipeline import batches_from_files
+    from ntcard_tpu.pipeline import batches_from_files, prefetch
 
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
@@ -93,10 +93,10 @@ def measure_ours(fq: Path) -> float:
     def run() -> float:
         sketch = CountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
         t0 = time.perf_counter()
-        for batch in batches_from_files([str(fq)], chunk_len, batch_rows, K):
+        for batch in prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
             sketch.update(batch)
         state = sketch.finalize()
-        comp_est(state[K]["table"], 7, R_BITS, 64)
+        comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
         return time.perf_counter() - t0
 
     run()  # warmup: jit compiles, file cache

@@ -6,11 +6,25 @@ functional sketch state merged with collectives, and a host C++/Python I/O
 layer. See SURVEY.md for the full blueprint.
 """
 
+import os
+
 import jax
 
 # Exact F1 totals (ntcard.cpp:464-466) and u64 host-side hash assembly need
 # 64-bit integers; device kernels pin uint32/int32 explicitly throughout, so
 # enabling x64 does not change any kernel dtype.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the CLI is a short-lived batch tool, so cold
+# jit compiles (~30s for the fused kernel) would otherwise dominate small
+# runs.
+_cache_dir = os.environ.get(
+    "NTCARD_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "ntcard_tpu_jit")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache support is best-effort
+    pass
 
 __version__ = "1.0.0"

@@ -160,11 +160,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.io.readers import expand_file_args
-    from ntcard_tpu.models.estimate import comp_est
+    from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import CountTableSketch
     from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
-    from ntcard_tpu.pipeline import batches_from_files, default_geometry
+    from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
 
     in_files = expand_file_args(args)
 
@@ -199,13 +199,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         sketch = CountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
-    for batch in batches_from_files(in_files, chunk_len, batch_rows, kmax):
+    for batch in prefetch(batches_from_files(in_files, chunk_len, batch_rows, kmax)):
         sketch.update(batch)
     state = sketch.finalize()
 
     results = {}
     for k in ks:
-        f0, f = comp_est(state[k]["table"], opt.s_bits, opt.r_bits, opt.cov_max)
+        f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
         results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
 
     if not opt.output:

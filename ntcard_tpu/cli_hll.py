@@ -78,7 +78,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
-    from ntcard_tpu.pipeline import batches_from_files, default_geometry
+    from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
 
     in_files = expand_file_args(args)
 
@@ -86,9 +86,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     sketch = HllSketch(km_len, n_bits, aligned_stride(chunk_len, km_len))
     # nthll silently skips unreadable files and sniffs leniently
     # (no error path in its reader loop, nthll.cpp:70-90, 225-235)
-    for batch in batches_from_files(
+    for batch in prefetch(batches_from_files(
         in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
-    ):
+    )):
         sketch.update(batch)
     f0 = estimate_f0(sketch.registers(), canon=True)
     sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")

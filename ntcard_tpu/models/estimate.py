@@ -40,12 +40,19 @@ def counter_value_hist(table: np.ndarray) -> np.ndarray:
 
 
 def comp_est(table: np.ndarray, s_bits: int, r_bits: int, cov_max: int) -> Tuple[int, np.ndarray]:
-    """-> (F0, f[0..cov_max] int64 array; f[0] unused).
+    """comp_est from the raw uint16 table [2, 2^rBits]."""
+    return comp_est_hist(counter_value_hist(table), s_bits, r_bits, cov_max)
+
+
+def comp_est_hist(
+    p: np.ndarray, s_bits: int, r_bits: int, cov_max: int
+) -> Tuple[int, np.ndarray]:
+    """-> (F0, f[0..cov_max] int64 array; f[0] unused), from the
+    counter-value histogram p[nSamp, 65536].
 
     f_i for i <= cov_max depends only on p[j], f_j for j <= i, so computing
     the recursion to cov_max (not the reference's fixed 65536) yields
     identical values for every emitted row."""
-    p = counter_value_hist(table)
     n_samp = p.shape[0]
     p_mean = [0.0] * (cov_max + 1)
     for i in range(cov_max + 1):
@@ -64,14 +71,20 @@ def comp_est(table: np.ndarray, s_bits: int, r_bits: int, cov_max: int) -> Tuple
     if denom == 0:
         return int(f0), f
 
-    fm = [0.0] * (cov_max + 1)
-    if cov_max >= 1:
-        fm[1] = -1.0 * p_mean[1] / denom
-    for i in range(2, cov_max + 1):
-        s = 0.0
-        for j in range(1, i):
-            s += j * p_mean[i - j] * fm[j]
-        fm[i] = -1.0 * p_mean[i] / denom - s / (i * p_mean[0])
+    from ntcard_tpu.native import f_recursion
+
+    fm = f_recursion(p_mean, cov_max, denom, p_mean[0])
+    if fm is None:  # pure-Python fallback, identical evaluation order
+        fm = [0.0] * (cov_max + 1)
+        if cov_max >= 1:
+            fm[1] = -1.0 * p_mean[1] / denom
+        for i in range(2, cov_max + 1):
+            s = 0.0
+            for j in range(1, i):
+                s += j * p_mean[i - j] * fm[j]
+            fm[i] = -1.0 * p_mean[i] / denom - s / (i * p_mean[0])
     for i in range(1, cov_max + 1):
-        f[i] = abs(_trunc(fm[i] * f0))
+        v = _trunc(float(fm[i]) * f0)
+        # C++ abs(INT64_MIN) stays INT64_MIN (the reference's overflow path)
+        f[i] = v if v == -(2**63) else abs(v)
     return int(f0), f

@@ -46,11 +46,26 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions):
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 
 
+@partial(jax.jit, static_argnames=("r_buck",))
+def _counter_hists(tables, r_buck):
+    """[nK, 2*r_buck+1] int32 -> [nK, 2, 65536] int32 histograms of the
+    mod-2^16-wrapped counter values (compEst's p[sample][v], ntcard.cpp:
+    240-247) — computed on device so only ~0.5 MB/k crosses to the host
+    instead of the (up to 1 GB/k) table itself."""
+    t = (tables[:, : 2 * r_buck] & 0xFFFF).reshape(tables.shape[0], 2, r_buck)
+
+    def hist1(row):
+        return jnp.zeros((65536,), jnp.int32).at[row].add(1)
+
+    return jax.vmap(jax.vmap(hist1))(t)
+
+
 class CountTableSketch:
     """Streaming ntcard sketch over one device.
 
     feed [B, L] uint8 batches via :meth:`update`; :meth:`finalize` returns
-    the reference-equivalent uint16 tables and exact F1 counts."""
+    the reference-equivalent counter-value histograms (and, on request, the
+    raw uint16 tables) plus exact F1 counts."""
 
     def __init__(
         self,
@@ -82,12 +97,18 @@ class CountTableSketch:
             self.gap_positions,
         )
 
-    def finalize(self) -> Dict[int, dict]:
-        """-> {k: {"table": uint16[2, 2^rBits], "f1": int}} (device -> host)."""
-        tables = np.asarray(self.tables)
+    def finalize(self, return_table: bool = False) -> Dict[int, dict]:
+        """-> {k: {"hist": int64[2, 65536], "f1": int, ["table": ...]}}.
+
+        "hist" is compEst's counter-value histogram, computed on device;
+        return_table=True additionally pulls the raw uint16 table (large —
+        test/debug use)."""
+        hists = np.asarray(_counter_hists(self.tables, self.r_buck))
         f1s = np.asarray(self.f1s)
         out = {}
         for i, k in enumerate(self.ks):
-            t = tables[i, : 2 * self.r_buck].astype(np.uint16)  # mod-2^16 wrap
-            out[k] = {"table": t.reshape(2, self.r_buck), "f1": int(f1s[i])}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1s[i])}
+            if return_table:
+                t = np.asarray(self.tables[i, : 2 * self.r_buck]).astype(np.uint16)
+                out[k]["table"] = t.reshape(2, self.r_buck)
         return out

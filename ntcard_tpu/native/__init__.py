@@ -26,7 +26,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     so = _HERE / "_packer.so"
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
             "-o", str(so), str(src),
         ]
         try:
@@ -55,7 +55,32 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_longlong),
         ctypes.POINTER(ctypes.c_longlong),
     ]
+    lib.ntcard_f_recursion.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     return lib
+
+
+def f_recursion(p_mean, cov_max: int, denom: float, p0: float):
+    """C++ compEst f_i recursion; returns float64 fm[0..cov_max] or None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(p_mean, dtype=np.float64)
+    fm = np.zeros(cov_max + 1, dtype=np.float64)
+    lib.ntcard_f_recursion(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cov_max,
+        denom,
+        p0,
+        fm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return fm
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -132,7 +157,7 @@ def native_batches_from_files(
     files (nthll contract — its reader loop has no error path)."""
     import sys
 
-    from ntcard_tpu.io.decompress import open_input
+    from ntcard_tpu.io.decompress import DecompressError, open_input
 
     packer = NativePacker(chunk_len, batch_rows, kmax, lenient)
     for path in paths:
@@ -143,15 +168,21 @@ def native_batches_from_files(
                 continue
             print(f"Error in reading file: {path}", file=sys.stderr)
             raise SystemExit(1)
-        with stream:
-            try:
-                while True:
-                    data = stream.read(io_chunk)
-                    if not data:
-                        break
-                    yield from packer.feed_bytes(data)
-                yield from packer.end_file()
-            except ValueError:
-                print(f"Error in reading file: {path}", file=sys.stderr)
-                raise SystemExit(1)
+        try:
+            with stream:
+                try:
+                    while True:
+                        data = stream.read(io_chunk)
+                        if not data:
+                            break
+                        yield from packer.feed_bytes(data)
+                    yield from packer.end_file()
+                except ValueError:
+                    print(f"Error in reading file: {path}", file=sys.stderr)
+                    raise SystemExit(1)
+        except DecompressError as e:
+            # fail-fast on decompressor child failure, like the reference's
+            # SIGCHLD reaper (Common/SignalHandler.cpp:32-62)
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(1)
     yield from packer.flush()

@@ -312,4 +312,18 @@ void packer_stats(void* h, long long* records, long long* bases) {
   *bases = p->bases;
 }
 
+// compEst's O(covMax^2) f_i recursion (reference ntcard.cpp:265-272),
+// bit-identical float64 evaluation order; the Python loop is too slow for
+// covMax up to 65535.
+void ntcard_f_recursion(const double* p_mean, long cov_max, double denom,
+                        double p0, double* fm) {
+  for (long i = 0; i <= cov_max; i++) fm[i] = 0.0;
+  if (cov_max >= 1) fm[1] = -1.0 * p_mean[1] / denom;
+  for (long i = 2; i <= cov_max; i++) {
+    double sum = 0.0;
+    for (long j = 1; j < i; j++) sum += j * p_mean[i - j] * fm[j];
+    fm[i] = -1.0 * p_mean[i] / denom - sum / (i * p0);
+  }
+}
+
 }  // extern "C"

@@ -106,13 +106,18 @@ class ShardedCountTableSketch:
             self.gap_positions,
         )
 
-    def finalize(self) -> Dict[int, dict]:
-        tables = np.asarray(jnp.sum(self.tables, axis=0))  # merge: psum analog
+    def finalize(self, return_table: bool = False) -> Dict[int, dict]:
+        from ntcard_tpu.models.sketch import _counter_hists
+
+        merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
+        hists = np.asarray(_counter_hists(merged, self.r_buck))
         f1s = np.asarray(jnp.sum(self.f1s, axis=0))
         out = {}
         for i, k in enumerate(self.ks):
-            t = tables[i, : 2 * self.r_buck].astype(np.uint16)  # mod-2^16 wrap
-            out[k] = {"table": t.reshape(2, self.r_buck), "f1": int(f1s[i])}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1s[i])}
+            if return_table:
+                t = np.asarray(merged[i, : 2 * self.r_buck]).astype(np.uint16)
+                out[k]["table"] = t.reshape(2, self.r_buck)
         return out
 
 

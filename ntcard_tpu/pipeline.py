@@ -15,7 +15,7 @@ from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
-from ntcard_tpu.io.decompress import open_input
+from ntcard_tpu.io.decompress import DecompressError, open_input
 from ntcard_tpu.io.packing import StreamPacker
 from ntcard_tpu.io.readers import records_from_stream
 
@@ -35,12 +35,17 @@ def iter_file_records(
                 continue
             print(f"Error in reading file: {path}", file=sys.stderr)
             raise SystemExit(1)
-        with stream:
-            try:
-                yield from records_from_stream(stream, path, lenient=lenient)
-            except ValueError:
-                print(f"Error in reading file: {path}", file=sys.stderr)
-                raise SystemExit(1)
+        try:
+            with stream:
+                try:
+                    yield from records_from_stream(stream, path, lenient=lenient)
+                except ValueError:
+                    print(f"Error in reading file: {path}", file=sys.stderr)
+                    raise SystemExit(1)
+        except DecompressError as e:
+            # fail-fast on decompressor child failure (SignalHandler.cpp:32-62)
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(1)
 
 
 def batches_from_files(
@@ -72,8 +77,40 @@ def batches_from_files(
     yield from packer.finish()
 
 
-def default_geometry(kmax: int, target_chunk: int = 1024, batch_rows: int = 512):
+def default_geometry(kmax: int, target_chunk: int = 1024, batch_rows: int = 8192):
     """Pick (chunk_len, batch_rows): chunk_len comfortably above kmax so halo
-    overhead (kmax-1)/chunk_len stays small."""
+    overhead (kmax-1)/chunk_len stays small; batch_rows sized so one batch
+    (~8 Mbases) amortizes per-dispatch overhead."""
     chunk_len = max(target_chunk, 8 * kmax)
     return chunk_len, batch_rows
+
+
+def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:
+    """Run ``iterator`` in a background thread with a bounded queue — the
+    host-decode/device-compute pipeline overlap (the PP analog of SURVEY.md
+    §2.6: decode/pack on CPU runs ahead while the chip consumes batches)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate SystemExit etc. to consumer
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -35,12 +35,12 @@ def test_sketch_shard_invariance(records):
     ref = CountTableSketch(ks, s_bits=7, r_bits=12, stride=STRIDE)
     for b in pack_records(records, CHUNK, 128, KMAX):
         ref.update(b)
-    want = ref.finalize()
+    want = ref.finalize(return_table=True)
 
     sh = ShardedCountTableSketch(ks, s_bits=7, r_bits=12, stride=STRIDE)
     for b in pack_records(records, CHUNK, 128 * sh.n_dev, KMAX):
         sh.update(b)
-    got = sh.finalize()
+    got = sh.finalize(return_table=True)
 
     for k in ks:
         assert got[k]["f1"] == want[k]["f1"]
@@ -52,12 +52,12 @@ def test_sketch_shard_invariance_gap(records):
     ref = CountTableSketch((12,), 7, 12, STRIDE, gap_positions=gap)
     for b in pack_records(records, CHUNK, 128, KMAX):
         ref.update(b)
-    want = ref.finalize()
+    want = ref.finalize(return_table=True)
 
     sh = ShardedCountTableSketch((12,), 7, 12, STRIDE, gap_positions=gap)
     for b in pack_records(records, CHUNK, 128 * sh.n_dev, KMAX):
         sh.update(b)
-    got = sh.finalize()
+    got = sh.finalize(return_table=True)
     assert got[12]["f1"] == want[12]["f1"]
     np.testing.assert_array_equal(got[12]["table"], want[12]["table"])
 

@@ -1,0 +1,195 @@
+"""Benchmark CLI — the nttest analog (reference vendor/ntHash/nttest.cpp).
+
+Modes:
+  kernel      fused hash+sample+scatter throughput per (k, geometry)
+  multik      shared-work scaling over k-list sizes
+  uniformity  chi-square uniformity of canonical hash low bits (the
+              statistical role of nttest's Bloom-filter FPR sweep)
+  e2e         end-to-end file pipeline reads/s + Gbp/s
+  hostpack    native decode+pack throughput (no device)
+
+Usage: python -m ntcard_tpu.bench [mode ...]  (default: kernel uniformity)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_top():
+    """Load the repo-root bench.py (owns the synthetic dataset)."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "bench.py"
+    spec = importlib.util.spec_from_file_location("_bench_top", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _chained(stepfn, batches, acc0):
+    """Trustworthy device timing: chained dependency + host drain."""
+    import jax
+
+    acc = stepfn(batches[0], acc0)
+    _ = np.asarray(jax.tree.leaves(acc)[0])[:8]
+    acc = acc0
+    t0 = time.perf_counter()
+    for b in batches:
+        acc = stepfn(b, acc)
+    _ = np.asarray(jax.tree.leaves(acc)[0])[:8]
+    return (time.perf_counter() - t0) / len(batches)
+
+
+def bench_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    from ntcard_tpu.ops.nthash import sketch_scan
+
+    rng = np.random.default_rng(0)
+    print("# fused hash+sample+scatter (chained, drained)")
+    for k, B, L in [(32, 8192, 1024), (64, 8192, 1024), (128, 8192, 1024), (64, 16384, 1024)]:
+        stride = ((L - k + 1) // 8) * 8
+        batches = [jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8)) for _ in range(4)]
+        table0 = jnp.zeros((2 * (1 << 16) + 1,), jnp.int32)
+
+        @jax.jit
+        def step(codes, table, k=k, stride=stride):
+            idx, _ = sketch_scan(codes, (k,), stride, 7, 16)
+            return table.at[jax.lax.optimization_barrier(idx[k])].add(1)
+
+        dt = _chained(step, batches, table0)
+        print(f"k={k:4d} B={B} L={L}: {dt * 1e3:7.1f} ms/batch  {B * stride / dt / 1e6:7.0f} Mbases/s")
+
+
+def bench_multik():
+    import jax
+    import jax.numpy as jnp
+
+    from ntcard_tpu.ops.nthash import sketch_scan
+
+    rng = np.random.default_rng(0)
+    B, L = 8192, 1024
+    print("# multi-k scaling (shared prefix scans)")
+    for ks in [(64,), (32, 64), (32, 64, 96), (16, 32, 64, 96, 128)]:
+        stride = ((L - max(ks) + 1) // 8) * 8
+        batches = [jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8)) for _ in range(4)]
+        table0 = jnp.zeros((len(ks), 2 * (1 << 16) + 1), jnp.int32)
+
+        @jax.jit
+        def step(codes, table, ks=ks, stride=stride):
+            idx, _ = sketch_scan(codes, ks, stride, 7, 16)
+            return jnp.stack(
+                [table[i].at[jax.lax.optimization_barrier(idx[k])].add(1) for i, k in enumerate(ks)]
+            )
+
+        dt = _chained(step, batches, table0)
+        print(f"nK={len(ks)} {str(ks):24s}: {dt * 1e3:7.1f} ms/batch  ({dt / len(ks) * 1e3:5.1f} ms/k)")
+
+
+def bench_uniformity():
+    """Chi-square of canonical-hash bucket occupancy — the role of nttest's
+    Bloom-filter FPR uniformity sweep, directly on the hash values."""
+    import jax.numpy as jnp
+
+    from ntcard_tpu.ops.nthash import canonical_hashes
+
+    rng = np.random.default_rng(1)
+    B, L, k = 1024, 1024, 64
+    stride = ((L - k + 1) // 8) * 8
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    hi, lo, valid = canonical_hashes(codes, k, stride)
+    v = np.asarray(valid)
+    print("# hash uniformity (chi-square over 4096 buckets)")
+    # the count-table bucket bits (hVal & (2^rBits-1), ntcard.cpp:141) must be
+    # uniform; the TOP bits of a min-canonical hash are skewed low by the
+    # min() itself — that skew is part of ntCard's design (its sampling
+    # patterns account for it), so it is reported, not asserted.
+    for name, arr, shift, expect in [
+        ("low12 (table bucket bits)", np.asarray(lo), 0, True),
+        ("top12 (min-biased by design)", np.asarray(hi), 20, False),
+    ]:
+        buckets = ((arr[v] >> shift) & 0xFFF).astype(np.int64)
+        counts = np.bincount(buckets, minlength=4096)
+        n = counts.sum()
+        exp = n / 4096
+        chi2 = float(((counts - exp) ** 2 / exp).sum())
+        # dof=4095; mean 4095, sd ~sqrt(2*4095)=90.5
+        z = (chi2 - 4095) / 90.5
+        tag = "|z|<3 required" if expect else "skew expected"
+        print(f"{name}: n={n} chi2={chi2:.0f} z={z:+.2f} ({tag})")
+
+
+def bench_e2e():
+    from ntcard_tpu.io.packing import aligned_stride
+    from ntcard_tpu.models.estimate import comp_est_hist
+    from ntcard_tpu.models.sketch import CountTableSketch
+    from ntcard_tpu.pipeline import batches_from_files, prefetch
+
+    bench_top = _bench_top()
+
+    fq = bench_top.ensure_data()
+    k, r = 64, 16
+    chunk_len, rows = 1024, 8192
+    stride = aligned_stride(chunk_len, k)
+    for trial in range(2):
+        stats: dict = {}
+        sketch = CountTableSketch((k,), 7, r, stride)
+        t0 = time.perf_counter()
+        for b in prefetch(batches_from_files([str(fq)], chunk_len, rows, k, stats_out=stats)):
+            sketch.update(b)
+        state = sketch.finalize()
+        comp_est_hist(state[k]["hist"], 7, r, 64)
+        dt = time.perf_counter() - t0
+        if trial:  # trial 0 is warmup
+            print("# end-to-end file pipeline")
+            print(
+                f"k={k}: {stats['records'] / dt:,.0f} reads/s  "
+                f"{stats['bases'] / dt / 1e9:.3f} Gbp/s  ({dt:.2f}s)"
+            )
+
+
+def bench_hostpack():
+    from ntcard_tpu.native import get_lib, native_batches_from_files
+
+    bench_top = _bench_top()
+
+    fq = bench_top.ensure_data()
+    if get_lib() is None:
+        print("native packer unavailable")
+        return
+    t0 = time.perf_counter()
+    stats: dict = {}
+    n = sum(1 for _ in native_batches_from_files([str(fq)], 1024, 8192, 64, stats_out=stats))
+    dt = time.perf_counter() - t0
+    print("# native decode+pack (no device)")
+    print(f"{n} batches, {stats['bases'] / dt / 1e6:.0f} Mbases/s")
+
+
+MODES = {
+    "kernel": bench_kernel,
+    "multik": bench_multik,
+    "uniformity": bench_uniformity,
+    "e2e": bench_e2e,
+    "hostpack": bench_hostpack,
+}
+
+
+def main(argv=None):
+    args = sys.argv[1:] if argv is None else argv
+    modes = args or ["kernel", "uniformity"]
+    for m in modes:
+        if m not in MODES:
+            print(f"unknown mode {m}; choose from {sorted(MODES)}", file=sys.stderr)
+            return 1
+        MODES[m]()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

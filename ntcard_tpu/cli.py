@@ -56,8 +56,9 @@ class Opts:
         self.output = ""
         self.k_list: List[int] = []
         self.chunk_len: Optional[int] = None
-        self.batch_rows = 512
+        self.batch_rows = 8192
         self.devices = 0  # 0 = all local devices
+        self.metrics = False
 
 
 def _uint(s: str, flag: str) -> int:
@@ -89,6 +90,7 @@ def parse_args(argv: List[str]) -> tuple:
                 "chunk-len=",
                 "batch-rows=",
                 "devices=",
+                "metrics",
                 "help",
                 "version",
             ],
@@ -122,6 +124,8 @@ def parse_args(argv: List[str]) -> tuple:
             opt.batch_rows = _uint(val, "-batch-rows")
         elif flag == "--devices":
             opt.devices = _uint(val, "-devices")
+        elif flag == "--metrics":
+            opt.metrics = True
         elif flag == "--help":
             sys.stderr.write(USAGE_MESSAGE)
             raise SystemExit(0)
@@ -165,6 +169,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
     from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
+    from ntcard_tpu.utils.metrics import Metrics
 
     in_files = expand_file_args(args)
 
@@ -199,20 +204,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         sketch = CountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
-    for batch in prefetch(batches_from_files(in_files, chunk_len, batch_rows, kmax)):
-        sketch.update(batch)
-    state = sketch.finalize()
+    metrics = Metrics(opt.metrics)
+    stats: dict = {}
+    metrics.start_profile()
+    with metrics.phase("pipeline"):
+        for batch in prefetch(
+            batches_from_files(in_files, chunk_len, batch_rows, kmax, stats_out=stats)
+        ):
+            sketch.update(batch)
+    with metrics.phase("finalize"):
+        state = sketch.finalize()
+    metrics.stop_profile()
 
     results = {}
-    for k in ks:
-        f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
-        results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
+    with metrics.phase("estimate"):
+        for k in ks:
+            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
+            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
 
-    if not opt.output:
-        write_default(opt.prefix, ks, results, opt.cov_max)
-    else:
-        write_compact(opt.output, ks, results, opt.cov_max)
+    with metrics.phase("output"):
+        if not opt.output:
+            write_default(opt.prefix, ks, results, opt.cov_max)
+        else:
+            write_compact(opt.output, ks, results, opt.cov_max)
 
+    metrics.add("reads", stats.get("records", 0))
+    metrics.add("bases", stats.get("bases", 0))
+    metrics.report()
     sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
     return 0
 

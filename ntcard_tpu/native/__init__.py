@@ -149,6 +149,7 @@ def native_batches_from_files(
     lenient: bool = False,
     io_chunk: int = 1 << 22,
     on_error: str = "exit",
+    stats_out: Optional[dict] = None,
 ) -> Iterator[np.ndarray]:
     """Native-path equivalent of pipeline.batches_from_files.
 
@@ -186,3 +187,7 @@ def native_batches_from_files(
             print(f"error: {e}", file=sys.stderr)
             raise SystemExit(1)
     yield from packer.flush()
+    if stats_out is not None:
+        rec, bases = packer.stats()
+        stats_out["records"] = rec
+        stats_out["bases"] = bases

@@ -1,0 +1,68 @@
+"""Multi-host orchestration: the same data-parallel sketch over a mesh that
+spans hosts (SURVEY.md §2.6, §5).
+
+The reference is single-node shared-memory; its scale-out analog here is:
+
+* ``jax.distributed.initialize()`` on every host (coordinator address from
+  env or flags), giving one global mesh over all chips;
+* deterministic input sharding: each host packs only its assigned slice of
+  the input so no read is counted twice (assignment below);
+* per-chip private tables as in data_parallel; the finalize-time
+  ``jnp.sum``/``jnp.max`` over the device axis runs as a psum/pmax over
+  ICI within a slice and DCN across hosts;
+* the merged histogram is independent of host count by commutativity — the
+  same bit-exactness argument as the single-host shard-invariance tests.
+
+Hosts are assigned files round-robin by (size-ordered) index, which balances
+bytes approximately without any coordination; the assignment is a pure
+function of (files, num_hosts), so every host computes the same partition.
+Elastic recovery is intentionally out of scope (jobs are minutes; matches
+reference capability — SURVEY.md §5 failure-detection notes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize jax.distributed (no-op for single-process). Returns
+    (process_id, num_processes)."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("NTCARD_COORDINATOR")
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes
+            if num_processes is not None
+            else int(os.environ["NTCARD_NUM_PROCESSES"]),
+            process_id=process_id
+            if process_id is not None
+            else int(os.environ["NTCARD_PROCESS_ID"]),
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def host_file_assignment(
+    files: Sequence[str], sizes: Sequence[int], num_hosts: int, host_id: int
+) -> List[str]:
+    """Deterministic per-host file slice: files sorted by (size desc, name)
+    are dealt round-robin — every host derives the identical global partition
+    from the same inputs, so the union is exact and disjoint."""
+    order = sorted(range(len(files)), key=lambda i: (-sizes[i], files[i]))
+    return [files[i] for j, i in enumerate(order) if j % num_hosts == host_id]
+
+
+def global_data_mesh():
+    """1-D 'data' mesh over every chip of every host."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), ("data",))

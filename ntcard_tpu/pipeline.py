@@ -56,6 +56,7 @@ def batches_from_files(
     records: Optional[Iterable[bytes]] = None,
     lenient: bool = False,
     on_error: str = "exit",
+    stats_out: Optional[dict] = None,
 ) -> Iterator[np.ndarray]:
     """Dense [batch_rows, chunk_len] uint8 batches over all input records.
 
@@ -67,7 +68,8 @@ def batches_from_files(
 
         if get_lib() is not None:
             yield from native_batches_from_files(
-                paths, chunk_len, batch_rows, kmax, lenient=lenient, on_error=on_error
+                paths, chunk_len, batch_rows, kmax, lenient=lenient,
+                on_error=on_error, stats_out=stats_out,
             )
             return
     packer = StreamPacker(chunk_len, batch_rows, kmax)
@@ -75,6 +77,9 @@ def batches_from_files(
     for rec in recs:
         yield from packer.feed(rec)
     yield from packer.finish()
+    if stats_out is not None:
+        stats_out["records"] = packer.total_records
+        stats_out["bases"] = packer.total_bases - packer.total_records  # minus separators
 
 
 def default_geometry(kmax: int, target_chunk: int = 1024, batch_rows: int = 8192):

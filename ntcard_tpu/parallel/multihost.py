@@ -52,11 +52,19 @@ def initialize_distributed(
 def host_file_assignment(
     files: Sequence[str], sizes: Sequence[int], num_hosts: int, host_id: int
 ) -> List[str]:
-    """Deterministic per-host file slice: files sorted by (size desc, name)
-    are dealt round-robin — every host derives the identical global partition
-    from the same inputs, so the union is exact and disjoint."""
+    """Deterministic per-host file slice: greedy longest-processing-time —
+    files sorted by (size desc, name) each go to the currently least-loaded
+    host (ties by host index). Every host derives the identical global
+    partition from the same inputs, so the union is exact and disjoint."""
     order = sorted(range(len(files)), key=lambda i: (-sizes[i], files[i]))
-    return [files[i] for j, i in enumerate(order) if j % num_hosts == host_id]
+    loads = [0] * num_hosts
+    mine: List[str] = []
+    for i in order:
+        h = min(range(num_hosts), key=lambda j: (loads[j], j))
+        loads[h] += sizes[i]
+        if h == host_id:
+            mine.append(files[i])
+    return mine
 
 
 def global_data_mesh():

@@ -21,4 +21,7 @@ def test_assignment_balances_bytes():
     sizes = [2 ** (20 - i) for i in range(16)]  # heavily skewed
     parts = [host_file_assignment(files, sizes, 4, h) for h in range(4)]
     loads = [sum(sizes[files.index(f)] for f in p) for p in parts]
-    assert max(loads) <= 2 * min(loads) + sizes[0] / 4
+    # LPT guarantee: max load within 4/3 of the lower bound
+    # max(largest file, total/num_hosts)
+    opt_lb = max(max(sizes), sum(sizes) / 4)
+    assert max(loads) <= 4 / 3 * opt_lb + 1

@@ -59,6 +59,7 @@ class Opts:
         self.batch_rows = 8192
         self.devices = 0  # 0 = all local devices
         self.metrics = False
+        self.save_sketch = ""
 
 
 def _uint(s: str, flag: str) -> int:
@@ -91,6 +92,7 @@ def parse_args(argv: List[str]) -> tuple:
                 "batch-rows=",
                 "devices=",
                 "metrics",
+                "save-sketch=",
                 "help",
                 "version",
             ],
@@ -126,6 +128,8 @@ def parse_args(argv: List[str]) -> tuple:
             opt.devices = _uint(val, "-devices")
         elif flag == "--metrics":
             opt.metrics = True
+        elif flag == "--save-sketch":
+            opt.save_sketch = val
         elif flag == "--help":
             sys.stderr.write(USAGE_MESSAGE)
             raise SystemExit(0)
@@ -212,6 +216,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             batches_from_files(in_files, chunk_len, batch_rows, kmax, stats_out=stats)
         ):
             sketch.update(batch)
+    if opt.save_sketch:
+        sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):
         state = sketch.finalize()
     metrics.stop_profile()

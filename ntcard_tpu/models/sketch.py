@@ -97,6 +97,42 @@ class CountTableSketch:
             self.gap_positions,
         )
 
+    def save(self, path: str) -> None:
+        """Checkpoint the sketch state (pure, commutative — partial runs can
+        be merged offline; the reference has no equivalent, SURVEY.md §5)."""
+        np.savez_compressed(
+            path,
+            tables=np.asarray(self.tables),
+            f1s=np.asarray(self.f1s),
+            ks=np.asarray(self.ks, np.int64),
+            s_bits=self.s_bits,
+            r_bits=self.r_bits,
+            stride=self.stride,
+            gap=np.asarray(self.gap_positions or [], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CountTableSketch":
+        z = np.load(path)
+        gap = tuple(int(x) for x in z["gap"]) or None
+        self = cls(
+            tuple(int(k) for k in z["ks"]),
+            int(z["s_bits"]),
+            int(z["r_bits"]),
+            int(z["stride"]),
+            gap_positions=gap,
+        )
+        self.tables = jnp.asarray(z["tables"])
+        self.f1s = jnp.asarray(z["f1s"])
+        return self
+
+    def merge_(self, other: "CountTableSketch") -> None:
+        """Fold another sketch's counts into this one (sum merge)."""
+        if (self.ks, self.s_bits, self.r_bits) != (other.ks, other.s_bits, other.r_bits):
+            raise ValueError("sketch configs differ; cannot merge")
+        self.tables = self.tables + other.tables
+        self.f1s = self.f1s + other.f1s
+
     def finalize(self, return_table: bool = False) -> Dict[int, dict]:
         """-> {k: {"hist": int64[2, 65536], "f1": int, ["table": ...]}}.
 

@@ -106,6 +106,20 @@ class ShardedCountTableSketch:
             self.gap_positions,
         )
 
+    def save(self, path: str) -> None:
+        """Checkpoint: merge shards and save in CountTableSketch format
+        (models/sketch.py save/load — mergeable offline)."""
+        np.savez_compressed(
+            path,
+            tables=np.asarray(jnp.sum(self.tables, axis=0)),
+            f1s=np.asarray(jnp.sum(self.f1s, axis=0)),
+            ks=np.asarray(self.ks, np.int64),
+            s_bits=self.s_bits,
+            r_bits=self.r_bits,
+            stride=self.stride,
+            gap=np.asarray(self.gap_positions or [], np.int64),
+        )
+
     def finalize(self, return_table: bool = False) -> Dict[int, dict]:
         from ntcard_tpu.models.sketch import _counter_hists
 

@@ -10,10 +10,10 @@ import os
 
 import jax
 
-# Exact F1 totals (ntcard.cpp:464-466) and u64 host-side hash assembly need
-# 64-bit integers; device kernels pin uint32/int32 explicitly throughout, so
-# enabling x64 does not change any kernel dtype.
-jax.config.update("jax_enable_x64", True)
+# NOTE: global x64 mode is deliberately NOT enabled — it breaks Mosaic/Pallas
+# kernel compilation on TPU. Device kernels pin uint32/int32 explicitly;
+# exact F1 totals (ntcard.cpp:464-466) accumulate in int32 on device and are
+# drained to host Python ints before overflow (models/sketch.py).
 
 # Persistent compilation cache: the CLI is a short-lived batch tool, so cold
 # jit compiles (~30s for the fused kernel) would otherwise dominate small

@@ -34,15 +34,18 @@ from ntcard_tpu.ops.nthash import sketch_scan
     donate_argnums=(0, 1),
 )
 def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions):
-    """One batch step: tables/f1s are [nK, 2*rbuck+1] int32 / [nK] int64.
+    """One batch step: tables/f1s are [nK, 2*rbuck+1] / [nK] int32.
 
-    The +1 row is the sentinel dump for unsampled/invalid windows."""
+    The +1 row is the sentinel dump for unsampled/invalid windows. f1s is a
+    device int32 accumulator drained to a host Python int before it can
+    overflow (CountTableSketch.update) — device int64 is avoided because
+    global x64 mode breaks Mosaic/Pallas on this TPU backend."""
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions)
     new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
         new_tables.append(tables[i].at[idx[k]].add(1, mode="drop"))
-        new_f1s.append(f1s[i] + f1[k].astype(jnp.int64))
+        new_f1s.append(f1s[i] + f1[k])
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 
 
@@ -83,7 +86,22 @@ class CountTableSketch:
         self.r_buck = 1 << r_bits
         nk = len(self.ks)
         self.tables = jnp.zeros((nk, 2 * self.r_buck + 1), jnp.int32)
-        self.f1s = jnp.zeros((nk,), jnp.int64)
+        self.f1s = jnp.zeros((nk,), jnp.int32)
+        self._f1_host = [0] * nk  # drained exact totals (Python ints)
+        self._pending = 0
+
+    # drain the int32 F1 accumulator well before it could overflow: each
+    # batch adds < 2^27 windows, so draining every 2^4=16 batches keeps the
+    # device total < 2^31.
+    _DRAIN_EVERY = 16
+
+    def _drain_f1(self) -> None:
+        if self._pending:
+            vals = np.asarray(self.f1s)
+            for i in range(len(self.ks)):
+                self._f1_host[i] += int(vals[i])
+            self.f1s = jnp.zeros((len(self.ks),), jnp.int32)
+            self._pending = 0
 
     def update(self, codes: np.ndarray) -> None:
         self.tables, self.f1s = _update(
@@ -96,14 +114,18 @@ class CountTableSketch:
             self.r_bits,
             self.gap_positions,
         )
+        self._pending += 1
+        if self._pending >= self._DRAIN_EVERY:
+            self._drain_f1()
 
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can
         be merged offline; the reference has no equivalent, SURVEY.md §5)."""
+        self._drain_f1()
         np.savez_compressed(
             path,
             tables=np.asarray(self.tables),
-            f1s=np.asarray(self.f1s),
+            f1s=np.asarray(self._f1_host, np.int64),
             ks=np.asarray(self.ks, np.int64),
             s_bits=self.s_bits,
             r_bits=self.r_bits,
@@ -123,15 +145,17 @@ class CountTableSketch:
             gap_positions=gap,
         )
         self.tables = jnp.asarray(z["tables"])
-        self.f1s = jnp.asarray(z["f1s"])
+        self._f1_host = [int(v) for v in z["f1s"]]
         return self
 
     def merge_(self, other: "CountTableSketch") -> None:
         """Fold another sketch's counts into this one (sum merge)."""
         if (self.ks, self.s_bits, self.r_bits) != (other.ks, other.s_bits, other.r_bits):
             raise ValueError("sketch configs differ; cannot merge")
+        self._drain_f1()
+        other._drain_f1()
         self.tables = self.tables + other.tables
-        self.f1s = self.f1s + other.f1s
+        self._f1_host = [a + b for a, b in zip(self._f1_host, other._f1_host)]
 
     def finalize(self, return_table: bool = False) -> Dict[int, dict]:
         """-> {k: {"hist": int64[2, 65536], "f1": int, ["table": ...]}}.
@@ -139,11 +163,11 @@ class CountTableSketch:
         "hist" is compEst's counter-value histogram, computed on device;
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
+        self._drain_f1()
         hists = np.asarray(_counter_hists(self.tables, self.r_buck))
-        f1s = np.asarray(self.f1s)
         out = {}
         for i, k in enumerate(self.ks):
-            out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1s[i])}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}
             if return_table:
                 t = np.asarray(self.tables[i, : 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)

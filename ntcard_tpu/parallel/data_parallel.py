@@ -51,7 +51,7 @@ def _sketch_update_sharded(tables, f1s, codes, mesh, ks, stride, s_bits, r_bits,
         new_f = []
         for i, k in enumerate(ks):
             new_t.append(tbl[i].at[idx[k]].add(1, mode="drop"))
-            new_f.append(f1[i] + f1k[k].astype(jnp.int64))
+            new_f.append(f1[i] + f1k[k])
         return jnp.stack(new_t)[None], jnp.stack(new_f)[None]
 
     return jax.shard_map(
@@ -88,8 +88,21 @@ class ShardedCountTableSketch:
         self.tables = jax.device_put(
             jnp.zeros((self.n_dev, nk, 2 * self.r_buck + 1), jnp.int32), shard
         )
-        self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk), jnp.int64), shard)
+        self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk), jnp.int32), shard)
         self._row_sharding = shard
+        self._f1_host = [0] * nk
+        self._pending = 0
+        self._DRAIN_EVERY = 16  # int32 accumulator headroom (see models/sketch.py)
+
+    def _drain_f1(self) -> None:
+        if self._pending:
+            vals = np.asarray(jnp.sum(self.f1s, axis=0), np.int64)
+            for i in range(len(self.ks)):
+                self._f1_host[i] += int(vals[i])
+            self.f1s = jax.device_put(
+                jnp.zeros((self.n_dev, len(self.ks)), jnp.int32), self._row_sharding
+            )
+            self._pending = 0
 
     def update(self, codes: np.ndarray) -> None:
         """codes: [n_dev * rows, L] with rows a multiple of 128."""
@@ -105,14 +118,18 @@ class ShardedCountTableSketch:
             self.r_bits,
             self.gap_positions,
         )
+        self._pending += 1
+        if self._pending >= self._DRAIN_EVERY:
+            self._drain_f1()
 
     def save(self, path: str) -> None:
         """Checkpoint: merge shards and save in CountTableSketch format
         (models/sketch.py save/load — mergeable offline)."""
+        self._drain_f1()
         np.savez_compressed(
             path,
             tables=np.asarray(jnp.sum(self.tables, axis=0)),
-            f1s=np.asarray(jnp.sum(self.f1s, axis=0)),
+            f1s=np.asarray(self._f1_host, np.int64),
             ks=np.asarray(self.ks, np.int64),
             s_bits=self.s_bits,
             r_bits=self.r_bits,
@@ -123,12 +140,12 @@ class ShardedCountTableSketch:
     def finalize(self, return_table: bool = False) -> Dict[int, dict]:
         from ntcard_tpu.models.sketch import _counter_hists
 
+        self._drain_f1()
         merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
         hists = np.asarray(_counter_hists(merged, self.r_buck))
-        f1s = np.asarray(jnp.sum(self.f1s, axis=0))
         out = {}
         for i, k in enumerate(self.ks):
-            out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1s[i])}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}
             if return_table:
                 t = np.asarray(merged[i, : 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)

@@ -231,6 +231,30 @@ def sketch_scan(
     return idx, f1
 
 
+def multi_hashes(h_hi, h_lo, k: int, m: int):
+    """NTM64/NTE64 multi-hash derivation (nthash.hpp:307-390): extra hashes
+    h_i = bVal * (i ^ k*multiSeed); h_i ^= h_i >> multiShift, for i in
+    [1, m). Returns lists of m (hi, lo) pairs with element 0 the base hash.
+
+    ntcard itself uses h=1; this exists for capability parity with ntHash's
+    Bloom-filter consumers. u64 multiply emulated in 16-bit limbs."""
+    from ntcard_tpu.ops.rotations import _mulhi
+
+    outs = [(h_hi, h_lo)]
+    s = np.uint32(C.MULTISHIFT)
+    s_inv = np.uint32(32 - C.MULTISHIFT)
+    for i in range(1, m):
+        c = (i ^ (k * C.MULTISEED)) & C.MASK64
+        c_hi, c_lo = C.split_u64(c)
+        # 64x64 -> low 64 bits
+        t_lo = h_lo * np.uint32(c_lo)
+        carry = _mulhi(h_lo, np.uint32(c_lo >> 16), np.uint32(c_lo & 0xFFFF))
+        t_hi = h_lo * np.uint32(c_hi) + h_hi * np.uint32(c_lo) + carry
+        # t ^= t >> 27:  (hi,lo) >> 27 == (hi >> 27, (lo >> 27) | (hi << 5))
+        outs.append((t_hi ^ (t_hi >> s), t_lo ^ ((t_lo >> s) | (t_hi << s_inv))))
+    return outs
+
+
 def make_hll_emit(n_bits: int):
     """nthll's register update inputs (nthll.cpp:92-97): register index =
     hVal & (2^n_bits - 1); value = clz64(hVal & ~(2^n_bits-1)), or 0 when that

@@ -57,3 +57,25 @@ def test_multi_hash_derivation():
     m = R.multi_hashes(h, 20, 5)
     assert m[0] == h
     assert len(set(m)) == 5
+
+
+def test_device_multi_hash_matches_oracle():
+    """NTM64/NTE64 derivation on (hi, lo) uint32 pairs == scalar oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntcard_tpu.ops.nthash import multi_hashes as dev_mh
+
+    rng = np.random.default_rng(2)
+    hs = rng.integers(0, 1 << 64, size=100, dtype=np.uint64)
+    k, m = 33, 5
+    hi = jnp.asarray((hs >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((hs & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    dev = jax.jit(lambda a, b: dev_mh(a, b, k, m))(hi, lo)
+    for idx, (dh, dl) in enumerate(dev):
+        got = (np.asarray(dh).astype(np.uint64) << np.uint64(32)) | np.asarray(dl).astype(
+            np.uint64
+        )
+        want = np.array([R.multi_hashes(int(h), k, m)[idx] for h in hs], dtype=np.uint64)
+        np.testing.assert_array_equal(got, want)

@@ -95,7 +95,7 @@ def measure_ours(fq: Path) -> float:
         t0 = time.perf_counter()
         for batch in prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
             sketch.update(batch)
-        state = sketch.finalize()
+        state = sketch.finalize(cov_max=64)
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
         return time.perf_counter() - t0
 

@@ -219,7 +219,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if opt.save_sketch:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):
-        state = sketch.finalize()
+        state = sketch.finalize(cov_max=opt.cov_max)
     metrics.stop_profile()
 
     results = {}

@@ -157,14 +157,17 @@ class CountTableSketch:
         self.tables = self.tables + other.tables
         self._f1_host = [a + b for a, b in zip(self._f1_host, other._f1_host)]
 
-    def finalize(self, return_table: bool = False) -> Dict[int, dict]:
-        """-> {k: {"hist": int64[2, 65536], "f1": int, ["table": ...]}}.
+    def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
+        """-> {k: {"hist": int64[2, <=cov_max+1], "f1": int, ["table": ...]}}.
 
-        "hist" is compEst's counter-value histogram, computed on device;
+        "hist" is compEst's counter-value histogram, computed on device and
+        sliced to the cov_max+1 bins the estimator reads (device->host
+        bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
         self._drain_f1()
-        hists = np.asarray(_counter_hists(self.tables, self.r_buck))
+        nbins = min(cov_max + 1, 65536)
+        hists = np.asarray(_counter_hists(self.tables, self.r_buck)[:, :, :nbins])
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}

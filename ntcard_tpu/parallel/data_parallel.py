@@ -137,12 +137,13 @@ class ShardedCountTableSketch:
             gap=np.asarray(self.gap_positions or [], np.int64),
         )
 
-    def finalize(self, return_table: bool = False) -> Dict[int, dict]:
+    def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
         from ntcard_tpu.models.sketch import _counter_hists
 
         self._drain_f1()
+        nbins = min(cov_max + 1, 65536)
         merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
-        hists = np.asarray(_counter_hists(merged, self.r_buck))
+        hists = np.asarray(_counter_hists(merged, self.r_buck)[:, :, :nbins])
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}

@@ -109,3 +109,33 @@ def test_packer_batch_shapes():
     p = StreamPacker(chunk_len=64, batch_rows=128, kmax=16)
     batches = list(pack_records([b"ACGT" * 500] * 5, packer=p))
     assert all(b.shape == (128, 64) and b.dtype == np.uint8 for b in batches)
+
+
+def test_scan_backend_matches_wxor():
+    """The sequential lax.scan implementation (ops/nthash_scan.py) and the
+    rotated-prefix-XOR implementation (ops/nthash.py) are independent
+    derivations of the same math; they must agree exactly."""
+    import jax
+    import numpy as np
+
+    from ntcard_tpu.io.packing import StreamPacker
+    from ntcard_tpu.ops import nthash as W
+    from ntcard_tpu.ops import nthash_scan as S
+
+    records = random_records(seed=99, n=30, maxlen=300)
+    chunk_len, kmax = 256, 33
+    packer = StreamPacker(chunk_len, 128, kmax)
+    stride = packer.stride
+    k = 33
+    for rec in records:
+        for batch in packer.feed(rec):
+            pass
+    batches = list(packer.finish())
+    assert batches
+    for batch in batches:
+        wh, wl, wv = jax.jit(W.canonical_hashes, static_argnums=(1, 2))(batch, k, stride)
+        sh, sl, sv = jax.jit(S.canonical_hashes, static_argnums=(1, 2))(batch, k, stride)
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(sv))
+        v = np.asarray(wv)
+        np.testing.assert_array_equal(np.asarray(wh)[v], np.asarray(sh)[v])
+        np.testing.assert_array_equal(np.asarray(wl)[v], np.asarray(sl)[v])

@@ -172,7 +172,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.models.sketch import CountTableSketch
     from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
-    from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
+    from ntcard_tpu.pipeline import (
+        default_geometry,
+        parallel_batches_from_files,
+        prefetch,
+    )
     from ntcard_tpu.utils.metrics import Metrics
 
     in_files = expand_file_args(args)
@@ -213,7 +217,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     metrics.start_profile()
     with metrics.phase("pipeline"):
         for batch in prefetch(
-            batches_from_files(in_files, chunk_len, batch_rows, kmax, stats_out=stats)
+            parallel_batches_from_files(
+                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats
+            )
         ):
             sketch.update(batch)
     if opt.save_sketch:

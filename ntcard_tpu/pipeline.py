@@ -11,6 +11,7 @@ semantics are preserved exactly (ops/nthash.py docstring).
 from __future__ import annotations
 
 import sys
+import threading
 from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -90,12 +91,80 @@ def default_geometry(kmax: int, target_chunk: int = 1024, batch_rows: int = 8192
     return chunk_len, batch_rows
 
 
+_STATS_LOCK = threading.Lock()
+
+
+def parallel_batches_from_files(
+    paths: Sequence[str],
+    chunk_len: int,
+    batch_rows: int,
+    kmax: int,
+    n_threads: int,
+    lenient: bool = False,
+    on_error: str = "exit",
+    stats_out: Optional[dict] = None,
+) -> Iterator[np.ndarray]:
+    """Decode+pack files on ``n_threads`` host threads, one packer per
+    thread over a deterministic file partition (parallel/multihost.py LPT) —
+    the reference's file-level parallelism (`omp parallel for` over files,
+    ntcard.cpp:445) without its shared-table atomics: batch order is
+    irrelevant because the sketch fold commutes. The native packer releases
+    the GIL, so threads genuinely overlap."""
+    import queue
+
+    from ntcard_tpu.io.decompress import input_size
+    from ntcard_tpu.parallel.multihost import host_file_assignment
+
+    n_threads = max(1, min(n_threads, len(paths)))
+    if n_threads == 1:
+        yield from batches_from_files(
+            paths, chunk_len, batch_rows, kmax,
+            lenient=lenient, on_error=on_error, stats_out=stats_out,
+        )
+        return
+
+    sizes = [input_size(p) for p in paths]
+    parts = [host_file_assignment(paths, sizes, n_threads, t) for t in range(n_threads)]
+    q: "queue.Queue" = queue.Queue(maxsize=2 * n_threads)
+    done = object()
+    errs: list = []
+
+    def worker(my_paths):
+        stats: dict = {}
+        try:
+            for b in batches_from_files(
+                my_paths, chunk_len, batch_rows, kmax,
+                lenient=lenient, on_error=on_error, stats_out=stats,
+            ):
+                q.put(b)
+        except BaseException as e:
+            errs.append(e)
+        finally:
+            if stats_out is not None and stats:
+                with _STATS_LOCK:
+                    for key, v in stats.items():
+                        stats_out[key] = stats_out.get(key, 0) + v
+            q.put(done)
+
+    threads = [threading.Thread(target=worker, args=(p,), daemon=True) for p in parts if p]
+    for t in threads:
+        t.start()
+    remaining = len(threads)
+    while remaining:
+        item = q.get()
+        if item is done:
+            remaining -= 1
+            continue
+        yield item
+    if errs:
+        raise errs[0]
+
+
 def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:
     """Run ``iterator`` in a background thread with a bounded queue — the
     host-decode/device-compute pipeline overlap (the PP analog of SURVEY.md
     §2.6: decode/pack on CPU runs ahead while the chip consumes batches)."""
     import queue
-    import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()

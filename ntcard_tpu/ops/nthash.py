@@ -14,15 +14,14 @@ the rotation over the XOR and pre-rotating the prefixes once,
 
 where gc(j) = P^j(seed(comp b_j)) feeds Xc. The entire computation is then:
 
-  * 4 gathers into tiny (5 x 1023)-entry pre-rotated seed tables (P has
-    period lcm(33,31) = 1023) — TPU gathers from VMEM-resident tables are
-    fast;
+  * seed lookups as 4-way select chains (no gathers — measured ~60ms per
+    8M-element gather pass on the target backend);
+  * per-position derotations and the Y/Yc rotations via
+    ops/rotations.srol_var_iota: multiply/multiply-high by power-of-two
+    constants synthesized from the position iota (no variable-amount
+    shifts, no broadcasts — both pathological on this backend);
   * 2 inclusive prefix-XORs (``associative_scan`` along the *major* axis —
     log-depth, cheap);
-  * 2 variable-amount rotations (Y, Yc) — amortized over every k — computed
-    with multiply/multiply-high by per-position power-of-two constants
-    (ops/rotations.py srol_var_mul): no variable shift ops, which the TPU
-    vector unit handles poorly;
   * per k: one constant P^k rotation + XOR + canonical min + emit.
 
 Multi-k is nearly free (X/Y are k-independent). Spaced seeds strip masked
@@ -58,7 +57,6 @@ from ntcard_tpu.ops import rotations as R
 from ntcard_tpu.utils import u64
 
 N_CODE = C.N
-PERIOD = 33 * 31  # order of the srol permutation
 
 # (5,) uint32 seed luts: forward seeds and complement seeds (host constants).
 _SEED_HI = np.asarray([C.split_u64(s)[0] for s in C.SEEDS], np.uint32)

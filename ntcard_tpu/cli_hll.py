@@ -75,15 +75,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
         return 1
 
+    import jax
+
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
+    from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
     from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
 
     in_files = expand_file_args(args)
 
     chunk_len, batch_rows = default_geometry(km_len)
-    sketch = HllSketch(km_len, n_bits, aligned_stride(chunk_len, km_len))
+    stride = aligned_stride(chunk_len, km_len)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        sketch = ShardedHllSketch(km_len, n_bits, stride, n_devices=n_dev)
+        batch_rows = max(128, batch_rows // n_dev) * n_dev
+    else:
+        sketch = HllSketch(km_len, n_bits, stride)
     # nthll silently skips unreadable files and sniffs leniently
     # (no error path in its reader loop, nthll.cpp:70-90, 225-235)
     for batch in prefetch(batches_from_files(

@@ -65,7 +65,6 @@ struct Packer {
   std::string fa_seq;
   bool fa_open = false;
   std::string sam_fields[11];
-  bool finished_stream = false;
 
   Packer(int cl, int br, int km, bool len)
       : chunk_len(cl), batch_rows(br), kmax(km), lenient(len) {
@@ -226,9 +225,10 @@ struct Packer {
     }
   }
 
+  bool sniffed_any_ = false;
+  int fmt_after_finish_ = FMT_UNKNOWN;
+
   void finish_stream() {
-    if (finished_stream) return;
-    finished_stream = true;
     // a trailing line without '\n' still counts as a line (C++ getline)
     if (!line.empty()) {
       handle_line(line.data(), line.size());
@@ -240,13 +240,17 @@ struct Packer {
       fa_seq.clear();
       fa_open = false;
     }
-    // reset per-file parser state (stream-level packing state persists so
-    // multiple files share one packed stream)
+    sniffed_any_ = sniffed;
+    fmt_after_finish_ = fmt;
+  }
+
+  void reset_file_state() {
+    // per-file parser state resets; stream-level packing state persists so
+    // multiple files share one packed stream
     sniffed = false;
     fmt = FMT_UNKNOWN;
     fq_phase = 0;
     fq_seq.clear();
-    finished_stream = false;
     for (auto& f : sam_fields) f.clear();
   }
 
@@ -286,11 +290,14 @@ long packer_feed(void* h, const uint8_t* data, long m) {
 }
 
 // end of current file: flush parser state; returns ready batches (-1 on
-// unrecognized format)
+// unrecognized format; an empty file is an error — reference getftype runs
+// its sniff on the failed getline's empty string and lands on error,
+// ntcard.cpp:105-130)
 long packer_end_file(void* h) {
   Packer* p = (Packer*)h;
-  bool err = p->sniffed && p->fmt == FMT_ERR;
-  p->finish_stream();
+  p->finish_stream();  // may sniff a trailing unterminated line
+  bool err = (p->sniffed_any_ ? p->fmt_after_finish_ == FMT_ERR : true);
+  p->reset_file_state();
   return err ? -1 : (long)p->ready.size();
 }
 

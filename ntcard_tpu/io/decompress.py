@@ -14,7 +14,6 @@ import io
 import os
 import shutil
 import subprocess
-import sys
 from typing import IO, Optional
 
 # Extension -> command table (order matters: first match wins), mirroring

@@ -7,7 +7,6 @@ in tests/test_native_packer.py."""
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -45,7 +45,6 @@ ops/nthash_scan.py as a cross-check oracle for this kernel.
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Dict, Sequence, Tuple
 
 import jax

@@ -27,7 +27,7 @@ values, ntcard.cpp:132-145 sampling, nthll.cpp:92-97 HLL updates).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

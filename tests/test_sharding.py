@@ -8,7 +8,7 @@ import pytest
 
 import jax
 
-from ntcard_tpu.io.packing import pack_records
+from ntcard_tpu.io.packing import aligned_stride, pack_records
 from ntcard_tpu.models.hll import HllSketch
 from ntcard_tpu.models.sketch import CountTableSketch
 from ntcard_tpu.parallel.data_parallel import (
@@ -18,7 +18,7 @@ from ntcard_tpu.parallel.data_parallel import (
 from tests.test_kernel_vs_oracle import random_records
 
 CHUNK, KMAX = 256, 32
-STRIDE = CHUNK - (KMAX - 1)
+STRIDE = aligned_stride(CHUNK, KMAX)
 
 
 @pytest.fixture(scope="module")
@@ -72,3 +72,26 @@ def test_hll_shard_invariance(records):
     for b in pack_records(records, CHUNK, 128 * sh.n_dev, KMAX):
         sh.update(b)
     np.testing.assert_array_equal(sh.registers(), want)
+
+
+def test_record_order_invariance(records):
+    """Shuffling record order changes packing boundaries but must not change
+    the table: the sketch counts the same multiset of windows (the
+    shard-permutation property SURVEY.md §5 calls for)."""
+    import random as _random
+
+    ks = (12, 32)
+    a = CountTableSketch(ks, 7, 12, STRIDE)
+    for b in pack_records(records, CHUNK, 128, KMAX):
+        a.update(b)
+    want = a.finalize(return_table=True)
+
+    shuffled = list(records)
+    _random.Random(123).shuffle(shuffled)
+    b_ = CountTableSketch(ks, 7, 12, STRIDE)
+    for b in pack_records(shuffled, CHUNK, 128, KMAX):
+        b_.update(b)
+    got = b_.finalize(return_table=True)
+    for k in ks:
+        assert got[k]["f1"] == want[k]["f1"]
+        np.testing.assert_array_equal(got[k]["table"], want[k]["table"])

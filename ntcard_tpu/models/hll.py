@@ -30,6 +30,12 @@ def _update(regs, codes, k, stride, n_bits):
 
 class HllSketch:
     def __init__(self, k: int, n_bits: int, stride: int):
+        if stride % 8 or stride < 8:
+            raise ValueError(
+                f"stride ({stride}) must be a positive multiple of 8 — use "
+                "io.packing.aligned_stride(chunk_len, kmax) so the sketch and "
+                "packer agree on window ownership"
+            )
         self.k = k
         self.n_bits = n_bits
         self.n_buck = 1 << n_bits

@@ -78,6 +78,12 @@ class CountTableSketch:
         stride: int,
         gap_positions: Sequence[int] | None = None,
     ):
+        if stride % 8 or stride < 8:
+            raise ValueError(
+                f"stride ({stride}) must be a positive multiple of 8 — use "
+                "io.packing.aligned_stride(chunk_len, kmax) so the sketch and "
+                "packer agree on window ownership"
+            )
         self.ks = tuple(ks)
         self.s_bits = s_bits
         self.r_bits = r_bits

@@ -75,6 +75,12 @@ class ShardedCountTableSketch:
         gap_positions: Sequence[int] | None = None,
         n_devices: int = 0,
     ):
+        if stride % 8 or stride < 8:
+            raise ValueError(
+                f"stride ({stride}) must be a positive multiple of 8 — use "
+                "io.packing.aligned_stride(chunk_len, kmax) so the sketch and "
+                "packer agree on window ownership"
+            )
         self.ks = tuple(ks)
         self.s_bits = s_bits
         self.r_bits = r_bits
@@ -167,6 +173,12 @@ def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits):
 
 class ShardedHllSketch:
     def __init__(self, k: int, n_bits: int, stride: int, n_devices: int = 0):
+        if stride % 8 or stride < 8:
+            raise ValueError(
+                f"stride ({stride}) must be a positive multiple of 8 — use "
+                "io.packing.aligned_stride(chunk_len, kmax) so the sketch and "
+                "packer agree on window ownership"
+            )
         self.k = k
         self.n_bits = n_bits
         self.n_buck = 1 << n_bits

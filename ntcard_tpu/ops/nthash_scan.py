@@ -1,4 +1,12 @@
-"""Batched canonical ntHash over packed base streams — the TPU hot kernel.
+"""Batched canonical ntHash — sequential ``lax.scan`` formulation.
+
+This was the first TPU implementation; it is retained as an *independent
+cross-check* of the production rotated-prefix-XOR kernel (ops/nthash.py),
+which derives the same values by a completely different decomposition
+(tests/test_kernel_vs_oracle.py::test_scan_backend_matches_wxor). A
+per-position scan is the wrong shape for this TPU (loop-step overhead
+dominates: ~30x slower than the parallel formulation), so nothing in the
+product path uses it.
 
 Design (TPU-first, not a port of the reference's per-read iterator):
 

@@ -28,24 +28,33 @@ import numpy as np
 from ntcard_tpu.ops.nthash import sketch_scan
 
 
+def _u64_acc_add(hi, lo, add_u32):
+    """Exact unsigned-64 accumulate in a (hi, lo) uint32 pair — device int64
+    is unavailable (global x64 breaks Mosaic) and draining to the host
+    mid-stream is ruinous (device->host transfers on tunneled TPUs have
+    multi-second latency)."""
+    new_lo = lo + add_u32
+    carry = (new_lo < add_u32).astype(jnp.uint32)
+    return hi + carry, new_lo
+
+
 @partial(
     jax.jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions"),
     donate_argnums=(0, 1),
 )
 def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions):
-    """One batch step: tables/f1s are [nK, 2*rbuck+1] / [nK] int32.
+    """One batch step: tables [nK, 2*rbuck+1] int32; f1s [nK, 2] uint32
+    (hi, lo) exact 64-bit F1 accumulators.
 
-    The +1 row is the sentinel dump for unsampled/invalid windows. f1s is a
-    device int32 accumulator drained to a host Python int before it can
-    overflow (CountTableSketch.update) — device int64 is avoided because
-    global x64 mode breaks Mosaic/Pallas on this TPU backend."""
+    The +1 table row is the sentinel dump for unsampled/invalid windows."""
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions)
     new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
         new_tables.append(tables[i].at[idx[k]].add(1, mode="drop"))
-        new_f1s.append(f1s[i] + f1[k])
+        hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
+        new_f1s.append(jnp.stack([hi, lo]))
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 
 
@@ -92,22 +101,16 @@ class CountTableSketch:
         self.r_buck = 1 << r_bits
         nk = len(self.ks)
         self.tables = jnp.zeros((nk, 2 * self.r_buck + 1), jnp.int32)
-        self.f1s = jnp.zeros((nk,), jnp.int32)
-        self._f1_host = [0] * nk  # drained exact totals (Python ints)
-        self._pending = 0
+        self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
+        self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
 
-    # drain the int32 F1 accumulator well before it could overflow: each
-    # batch adds < 2^27 windows, so draining every 2^4=16 batches keeps the
-    # device total < 2^31.
-    _DRAIN_EVERY = 16
-
-    def _drain_f1(self) -> None:
-        if self._pending:
-            vals = np.asarray(self.f1s)
-            for i in range(len(self.ks)):
-                self._f1_host[i] += int(vals[i])
-            self.f1s = jnp.zeros((len(self.ks),), jnp.int32)
-            self._pending = 0
+    def _f1_totals(self):
+        """Exact per-k F1 as Python ints (single device->host transfer)."""
+        vals = np.asarray(self.f1s)
+        return [
+            self._f1_loaded[i] + ((int(vals[i, 0]) << 32) | int(vals[i, 1]))
+            for i in range(len(self.ks))
+        ]
 
     def update(self, codes: np.ndarray) -> None:
         self.tables, self.f1s = _update(
@@ -120,18 +123,14 @@ class CountTableSketch:
             self.r_bits,
             self.gap_positions,
         )
-        self._pending += 1
-        if self._pending >= self._DRAIN_EVERY:
-            self._drain_f1()
 
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can
         be merged offline; the reference has no equivalent, SURVEY.md §5)."""
-        self._drain_f1()
         np.savez_compressed(
             path,
             tables=np.asarray(self.tables),
-            f1s=np.asarray(self._f1_host, np.int64),
+            f1s=np.asarray(self._f1_totals(), np.int64),
             ks=np.asarray(self.ks, np.int64),
             s_bits=self.s_bits,
             r_bits=self.r_bits,
@@ -151,17 +150,15 @@ class CountTableSketch:
             gap_positions=gap,
         )
         self.tables = jnp.asarray(z["tables"])
-        self._f1_host = [int(v) for v in z["f1s"]]
+        self._f1_loaded = [int(v) for v in z["f1s"]]
         return self
 
     def merge_(self, other: "CountTableSketch") -> None:
         """Fold another sketch's counts into this one (sum merge)."""
         if (self.ks, self.s_bits, self.r_bits) != (other.ks, other.s_bits, other.r_bits):
             raise ValueError("sketch configs differ; cannot merge")
-        self._drain_f1()
-        other._drain_f1()
         self.tables = self.tables + other.tables
-        self._f1_host = [a + b for a, b in zip(self._f1_host, other._f1_host)]
+        self._f1_loaded = [a + b for a, b in zip(self._f1_loaded, other._f1_totals())]
 
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
         """-> {k: {"hist": int64[2, <=cov_max+1], "f1": int, ["table": ...]}}.
@@ -171,12 +168,12 @@ class CountTableSketch:
         bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
-        self._drain_f1()
+        f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
         hists = np.asarray(_counter_hists(self.tables, self.r_buck)[:, :, :nbins])
         out = {}
         for i, k in enumerate(self.ks):
-            out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}
             if return_table:
                 t = np.asarray(self.tables[i, : 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)

@@ -44,6 +44,8 @@ def _sketch_update_sharded(tables, f1s, codes, mesh, ks, stride, s_bits, r_bits,
     """tables [D, nK, 2*rbuck+1] / f1s [D, nK] sharded on D; codes [D*B, L]
     sharded on rows. Each device folds its rows into its private table."""
 
+    from ntcard_tpu.models.sketch import _u64_acc_add
+
     def local(tbl, f1, c):
         tbl, f1 = tbl[0], f1[0]
         idx, f1k = sketch_scan(c, ks, stride, s_bits, r_bits, mask_positions)
@@ -51,7 +53,8 @@ def _sketch_update_sharded(tables, f1s, codes, mesh, ks, stride, s_bits, r_bits,
         new_f = []
         for i, k in enumerate(ks):
             new_t.append(tbl[i].at[idx[k]].add(1, mode="drop"))
-            new_f.append(f1[i] + f1k[k])
+            hi, lo = _u64_acc_add(f1[i, 0], f1[i, 1], f1k[k].astype(jnp.uint32))
+            new_f.append(jnp.stack([hi, lo]))
         return jnp.stack(new_t)[None], jnp.stack(new_f)[None]
 
     return jax.shard_map(
@@ -94,21 +97,16 @@ class ShardedCountTableSketch:
         self.tables = jax.device_put(
             jnp.zeros((self.n_dev, nk, 2 * self.r_buck + 1), jnp.int32), shard
         )
-        self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk), jnp.int32), shard)
+        self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk, 2), jnp.uint32), shard)
         self._row_sharding = shard
-        self._f1_host = [0] * nk
-        self._pending = 0
-        self._DRAIN_EVERY = 16  # int32 accumulator headroom (see models/sketch.py)
 
-    def _drain_f1(self) -> None:
-        if self._pending:
-            vals = np.asarray(jnp.sum(self.f1s, axis=0), np.int64)
-            for i in range(len(self.ks)):
-                self._f1_host[i] += int(vals[i])
-            self.f1s = jax.device_put(
-                jnp.zeros((self.n_dev, len(self.ks)), jnp.int32), self._row_sharding
-            )
-            self._pending = 0
+    def _f1_totals(self):
+        """Exact per-k F1 summed over shards (one device->host transfer)."""
+        vals = np.asarray(self.f1s)
+        return [
+            sum((int(vals[d, i, 0]) << 32) | int(vals[d, i, 1]) for d in range(self.n_dev))
+            for i in range(len(self.ks))
+        ]
 
     def update(self, codes: np.ndarray) -> None:
         """codes: [n_dev * rows, L] with rows a multiple of 128."""
@@ -124,18 +122,14 @@ class ShardedCountTableSketch:
             self.r_bits,
             self.gap_positions,
         )
-        self._pending += 1
-        if self._pending >= self._DRAIN_EVERY:
-            self._drain_f1()
 
     def save(self, path: str) -> None:
         """Checkpoint: merge shards and save in CountTableSketch format
         (models/sketch.py save/load — mergeable offline)."""
-        self._drain_f1()
         np.savez_compressed(
             path,
             tables=np.asarray(jnp.sum(self.tables, axis=0)),
-            f1s=np.asarray(self._f1_host, np.int64),
+            f1s=np.asarray(self._f1_totals(), np.int64),
             ks=np.asarray(self.ks, np.int64),
             s_bits=self.s_bits,
             r_bits=self.r_bits,
@@ -146,13 +140,13 @@ class ShardedCountTableSketch:
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
         from ntcard_tpu.models.sketch import _counter_hists
 
-        self._drain_f1()
+        f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
         merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
         hists = np.asarray(_counter_hists(merged, self.r_buck)[:, :, :nbins])
         out = {}
         for i, k in enumerate(self.ks):
-            out[k] = {"hist": hists[i].astype(np.int64), "f1": self._f1_host[i]}
+            out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}
             if return_table:
                 t = np.asarray(merged[i, : 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)

@@ -85,7 +85,7 @@ def measure_ours(fq: Path) -> float:
     from ntcard_tpu.io.packing import StreamPacker, aligned_stride
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import CountTableSketch
-    from ntcard_tpu.pipeline import batches_from_files, prefetch
+    from ntcard_tpu.pipeline import batches_from_files, device_prefetch
 
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
@@ -93,7 +93,7 @@ def measure_ours(fq: Path) -> float:
     def run() -> float:
         sketch = CountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
         t0 = time.perf_counter()
-        for batch in prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
+        for batch in device_prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
             sketch.update(batch)
         state = sketch.finalize(cov_max=64)
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)

@@ -174,8 +174,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
     from ntcard_tpu.pipeline import (
         default_geometry,
+        device_prefetch,
         parallel_batches_from_files,
-        prefetch,
     )
     from ntcard_tpu.utils.metrics import Metrics
 
@@ -216,7 +216,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     stats: dict = {}
     metrics.start_profile()
     with metrics.phase("pipeline"):
-        for batch in prefetch(
+        for batch in device_prefetch(
             parallel_batches_from_files(
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats
             )

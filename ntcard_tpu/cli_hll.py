@@ -81,7 +81,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
     from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
-    from ntcard_tpu.pipeline import batches_from_files, default_geometry, prefetch
+    from ntcard_tpu.pipeline import batches_from_files, default_geometry, device_prefetch
 
     in_files = expand_file_args(args)
 
@@ -95,7 +95,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         sketch = HllSketch(km_len, n_bits, stride)
     # nthll silently skips unreadable files and sniffs leniently
     # (no error path in its reader loop, nthll.cpp:70-90, 225-235)
-    for batch in prefetch(batches_from_files(
+    for batch in device_prefetch(batches_from_files(
         in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
     )):
         sketch.update(batch)

@@ -160,6 +160,27 @@ def parallel_batches_from_files(
         raise errs[0]
 
 
+def device_prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
+    """prefetch() plus an explicit, completed host->device transfer in the
+    feeder thread.
+
+    Feeding numpy batches straight into a jitted update lets the implicit
+    transfer enqueue *behind* in-flight compute; on tunneled TPU runtimes
+    that serializes pathologically (multi-second stalls per batch — measured
+    5 s/batch vs 160 ms). Transferring in the feeder and blocking until the
+    copy lands keeps the compute queue clean. On CPU backends this is a
+    cheap no-op pass-through."""
+    import jax
+
+    def put(it):
+        for b in it:
+            d = jax.device_put(b)
+            d.block_until_ready()
+            yield d
+
+    yield from prefetch(put(iterator), depth=depth)
+
+
 def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:
     """Run ``iterator`` in a background thread with a bounded queue — the
     host-decode/device-compute pipeline overlap (the PP analog of SURVEY.md

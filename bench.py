@@ -20,7 +20,7 @@ import time
 from pathlib import Path
 
 WORK = Path(os.environ.get("NTCARD_BENCH_DIR", "/tmp/ntcard_bench"))
-N_READS = 200_000
+N_READS = 600_000
 READ_LEN = 150
 K = 64
 R_BITS = 16
@@ -100,7 +100,7 @@ def measure_ours(fq: Path) -> float:
         return time.perf_counter() - t0
 
     run()  # warmup: jit compiles, file cache
-    best = min(run() for _ in range(2))
+    best = min(run() for _ in range(3))
     return N_READS / best
 
 

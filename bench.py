@@ -93,8 +93,10 @@ def measure_ours(fq: Path) -> float:
     def run() -> float:
         sketch = CountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
         t0 = time.perf_counter()
-        for batch in device_prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
-            sketch.update(batch)
+        for batch in device_prefetch(
+            batches_from_files([str(fq)], chunk_len, batch_rows, K), pack=True
+        ):
+            sketch.update(batch, packed=True)
         state = sketch.finalize(cov_max=64)
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
         return time.perf_counter() - t0

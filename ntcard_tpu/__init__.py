@@ -10,6 +10,17 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS even when a PJRT platform plugin (e.g. the axon TPU
+# tunnel) is installed: the plugin otherwise wins over the env var, silently
+# sending "CPU" runs to the TPU. The config knob, applied before first
+# backend init, is authoritative.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
+
 # NOTE: global x64 mode is deliberately NOT enabled — it breaks Mosaic/Pallas
 # kernel compilation on TPU. Device kernels pin uint32/int32 explicitly;
 # exact F1 totals (ntcard.cpp:464-466) accumulate in int32 on device and are

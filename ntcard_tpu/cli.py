@@ -219,9 +219,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         for batch in device_prefetch(
             parallel_batches_from_files(
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats
-            )
+            ),
+            pack=True,
         ):
-            sketch.update(batch)
+            sketch.update(batch, packed=True)
     if opt.save_sketch:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):

@@ -53,9 +53,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             sys.stderr.write(f"{PROGRAM}: invalid option: `-{flag}{s}'\n")
             raise SystemExit(1)
 
+    n_thrd = 1
     for flag, val in optlist:
         if flag in ("-t", "--threads"):
-            uint(val, "t")
+            n_thrd = uint(val, "t")
         elif flag in ("-k", "--kmer"):
             km_len = uint(val, "k")
         elif flag in ("-b", "--bit"):
@@ -81,7 +82,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
     from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
-    from ntcard_tpu.pipeline import batches_from_files, default_geometry, device_prefetch
+    from ntcard_tpu.pipeline import (
+        default_geometry,
+        device_prefetch,
+        parallel_batches_from_files,
+    )
 
     in_files = expand_file_args(args)
 
@@ -93,12 +98,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         batch_rows = max(128, batch_rows // n_dev) * n_dev
     else:
         sketch = HllSketch(km_len, n_bits, stride)
-    # nthll silently skips unreadable files and sniffs leniently
-    # (no error path in its reader loop, nthll.cpp:70-90, 225-235)
-    for batch in device_prefetch(batches_from_files(
-        in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
-    )):
-        sketch.update(batch)
+    # nthll silently skips unreadable files and sniffs leniently (no error
+    # path in its reader loop, nthll.cpp:70-90, 225-235). -t fans decode
+    # threads over files like the reference's thread-private sketches
+    # (nthll.cpp:218-245) — batch order is irrelevant, max-merge commutes.
+    for batch in device_prefetch(
+        parallel_batches_from_files(
+            in_files, chunk_len, batch_rows, km_len, n_thrd,
+            lenient=True, on_error="skip",
+        ),
+        pack=True,
+    ):
+        sketch.update(batch, packed=True)
     f0 = estimate_f0(sketch.registers(), canon=True)
     sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")
     return 0

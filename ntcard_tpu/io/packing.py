@@ -25,6 +25,26 @@ import numpy as np
 from ntcard_tpu.constants import ASCII_TO_CODE, N
 
 
+def pack_rows(batch: np.ndarray) -> np.ndarray:
+    """Nibble-pack a [B, L] uint8 code batch to [B/2, L]: chunk row b rides
+    in the high nibble, row b + B/2 in the low nibble of the same byte.
+
+    Rows are independent chunks (each carries its own halo) and the sketch
+    fold commutes, so any row-to-byte pairing is semantics-free. Halving the
+    host->device payload avoids the tunneled runtime's super-linear cost of
+    large transfers issued while compute is in flight; the device inverse is
+    ops.nthash.unpack_rows."""
+    B = batch.shape[0]
+    if B % 2:
+        raise ValueError("batch must have an even number of rows to nibble-pack")
+    return (batch[: B // 2] << 4) | batch[B // 2 :]
+
+
+def unpack_rows_np(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of pack_rows (test/debug use)."""
+    return np.concatenate([packed >> 4, packed & 0x0F], axis=0)
+
+
 def aligned_stride(chunk_len: int, kmax: int) -> int:
     """Owned window starts per chunk: at most chunk_len - (kmax-1) so every
     window is fully in-chunk, rounded DOWN to a multiple of 8 — the TPU

@@ -5,9 +5,10 @@ Replicates the reference's exact record semantics:
 
 * sniffer rules — ntcard.cpp:105-130 (getftype):
   '>' -> FASTA; '@' + {HD,SQ,RG,PG,CO} -> SAM-with-header; '@' otherwise ->
-  FASTQ; else a line with >= 11 whitespace fields whose 2nd and 5th are
-  numeric -> headerless SAM (first line is itself the first alignment);
-  anything else -> error.
+  FASTQ; else a line whose 2nd and 5th whitespace fields exist and are
+  numeric -> headerless SAM (first line is itself the first alignment;
+  istringstream leaves missing trailing fields empty, so there is no
+  minimum field count); anything else -> error.
 * FASTQ — ntcard.cpp:173-189 (getEfq): strict 4-line records (the sniffer
   consumed record 1's header); a record is processed only if its quality
   line was successfully read.
@@ -60,8 +61,11 @@ def sniff(stream: IO[bytes]) -> Tuple[int, Optional[bytes]]:
         if line[1:3] in _SAM_HEADER_TAGS:
             return SAM, None
         return FASTQ, None
+    # getftype (ntcard.cpp:124-128): istringstream extraction leaves missing
+    # fields empty, so the only requirement is that fields 2 and 5 exist and
+    # are numeric — a 5-field line qualifies, there is no 11-field minimum.
     fields = line.split()
-    if len(fields) >= 11 and _is_number(fields[1]) and _is_number(fields[4]):
+    if len(fields) > 4 and _is_number(fields[1]) and _is_number(fields[4]):
         return SAM, line
     return ERR, None
 

@@ -22,9 +22,9 @@ import numpy as np
 from ntcard_tpu.ops.nthash import hll_scan
 
 
-@partial(jax.jit, static_argnames=("k", "stride", "n_bits"), donate_argnums=(0,))
-def _update(regs, codes, k, stride, n_bits):
-    reg_idx, run0 = hll_scan(codes, k, stride, n_bits)
+@partial(jax.jit, static_argnames=("k", "stride", "n_bits", "packed"), donate_argnums=(0,))
+def _update(regs, codes, k, stride, n_bits, packed=False):
+    reg_idx, run0 = hll_scan(codes, k, stride, n_bits, packed=packed)
     return regs.at[reg_idx].max(run0)
 
 
@@ -42,8 +42,8 @@ class HllSketch:
         self.stride = stride
         self.regs = jnp.zeros((self.n_buck,), jnp.int32)
 
-    def update(self, codes: np.ndarray) -> None:
-        self.regs = _update(self.regs, codes, self.k, self.stride, self.n_bits)
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
+        self.regs = _update(self.regs, codes, self.k, self.stride, self.n_bits, packed)
 
     def registers(self) -> np.ndarray:
         return np.asarray(self.regs).astype(np.uint8)

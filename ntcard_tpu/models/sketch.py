@@ -40,15 +40,15 @@ def _u64_acc_add(hi, lo, add_u32):
 
 @partial(
     jax.jit,
-    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions"),
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
-def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions):
+def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False):
     """One batch step: tables [nK, 2*rbuck+1] int32; f1s [nK, 2] uint32
     (hi, lo) exact 64-bit F1 accumulators.
 
     The +1 table row is the sentinel dump for unsampled/invalid windows."""
-    idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions)
+    idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
     new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
@@ -112,7 +112,9 @@ class CountTableSketch:
             for i in range(len(self.ks))
         ]
 
-    def update(self, codes: np.ndarray) -> None:
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
+        """codes: [B, L] uint8, or a [B/2, L] io.packing.pack_rows batch
+        when ``packed`` (the pipeline's H2D-halving wire format)."""
         self.tables, self.f1s = _update(
             self.tables,
             self.f1s,
@@ -122,6 +124,7 @@ class CountTableSketch:
             self.s_bits,
             self.r_bits,
             self.gap_positions,
+            packed,
         )
 
     def save(self, path: str) -> None:
@@ -154,9 +157,16 @@ class CountTableSketch:
         return self
 
     def merge_(self, other: "CountTableSketch") -> None:
-        """Fold another sketch's counts into this one (sum merge)."""
-        if (self.ks, self.s_bits, self.r_bits) != (other.ks, other.s_bits, other.r_bits):
-            raise ValueError("sketch configs differ; cannot merge")
+        """Fold another sketch's counts into this one (sum merge). The full
+        hash configuration must match — merging sketches built with different
+        spaced seeds or strides would silently sum semantically incompatible
+        tables."""
+        mine = (self.ks, self.s_bits, self.r_bits, self.stride, self.gap_positions)
+        theirs = (other.ks, other.s_bits, other.r_bits, other.stride, other.gap_positions)
+        if mine != theirs:
+            raise ValueError(
+                f"sketch configs differ; cannot merge ({mine} vs {theirs})"
+            )
         self.tables = self.tables + other.tables
         self._f1_loaded = [a + b for a, b in zip(self._f1_loaded, other._f1_totals())]
 

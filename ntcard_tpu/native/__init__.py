@@ -7,6 +7,8 @@ in tests/test_native_packer.py."""
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -21,16 +23,38 @@ _LIB_TRIED = False
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
+    # Build into a per-user cache keyed on the source hash: nothing generated
+    # lands in the source tree, a fresh checkout always compiles for the
+    # local CPU, and stale binaries can never be loaded. Portable codegen
+    # (-mtune=generic, no -march=native): the library may be built on one
+    # machine and the cache dir shared with another. -ffp-contract=off keeps
+    # ntcard_f_recursion's float64 evaluation bit-identical to the reference.
     src = _HERE / "packer.cpp"
-    so = _HERE / "_packer.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+    source = src.read_bytes()
+    digest = hashlib.sha256(source).hexdigest()[:16]
+    cache_dir = Path(
+        os.environ.get(
+            "NTCARD_TPU_NATIVE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "ntcard_tpu_native"),
+        )
+    )
+    so = cache_dir / f"_packer_{digest}.so"
+    if not so.exists():
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+        except OSError:
+            return None
+        tmp = so.with_suffix(f".tmp{os.getpid()}.so")
         cmd = [
-            "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
-            "-o", str(so), str(src),
+            "g++", "-O3", "-mtune=generic", "-ffp-contract=off",
+            "-shared", "-fPIC", "-std=c++17",
+            "-o", str(tmp), str(src),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            os.replace(tmp, so)  # atomic: concurrent builders race benignly
         except (subprocess.SubprocessError, OSError):
+            tmp.unlink(missing_ok=True)
             return None
     try:
         lib = ctypes.CDLL(str(so))
@@ -129,6 +153,11 @@ class NativePacker:
             raise ValueError("unrecognized input format")
         yield from self._pop_all()
 
+    def abort_file(self) -> None:
+        """Reset per-file parser state after an error (skip-mode recovery);
+        already-packed batches remain valid."""
+        self._lib.packer_end_file(self._h)
+
     def flush(self) -> Iterator[np.ndarray]:
         self._lib.packer_flush(self._h)
         yield from self._pop_all()
@@ -163,6 +192,13 @@ def native_batches_from_files(
     for path in paths:
         try:
             stream = open_input(path)
+        except DecompressError as e:
+            # missing filter program: clean fail-fast, mirroring the
+            # reference's SIGCHLD reaper contract (SignalHandler.cpp:38-52)
+            if on_error == "skip":
+                continue
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(1)
         except (OSError, ValueError):
             if on_error == "skip":
                 continue
@@ -178,6 +214,9 @@ def native_batches_from_files(
                         yield from packer.feed_bytes(data)
                     yield from packer.end_file()
                 except ValueError:
+                    if on_error == "skip":
+                        packer.abort_file()
+                        continue
                     print(f"Error in reading file: {path}", file=sys.stderr)
                     raise SystemExit(1)
         except DecompressError as e:

@@ -65,6 +65,7 @@ struct Packer {
   std::string fa_seq;
   bool fa_open = false;
   std::string sam_fields[11];
+  bool sam_header_done = false;
 
   Packer(int cl, int br, int km, bool len)
       : chunk_len(cl), batch_rows(br), kmax(km), lenient(len) {
@@ -137,7 +138,8 @@ struct Packer {
             (a == 'R' && b == 'G') || (a == 'P' && b == 'G') ||
             (a == 'C' && b == 'O')) {
           fmt = FMT_SAM;
-          return;  // header mode: skip further '@' lines
+          sam_header_done = false;  // skip only the LEADING '@' header block
+          return;
         }
       }
       fmt = FMT_FASTQ;
@@ -146,21 +148,32 @@ struct Packer {
     }
     if (lenient) {
       fmt = FMT_SAM;
-      sam_line(l, /*headerless_first=*/true);
+      sam_header_done = true;  // headerless: the line IS alignment #1
+      sam_line(l);
       return;
     }
     std::vector<std::string> f;
     split_ws(l, f);
-    if (f.size() >= 11 && is_number(f[1]) && is_number(f[4])) {
+    // getftype (ntcard.cpp:124-128): istringstream >> leaves missing fields
+    // empty, so only fields 2 and 5 need to exist and be numeric — there is
+    // no minimum-field-count requirement.
+    if (f.size() > 4 && is_number(f[1]) && is_number(f[4])) {
       fmt = FMT_SAM;
-      sam_line(l, /*headerless_first=*/true);
+      sam_header_done = true;
+      sam_line(l);
       return;
     }
     fmt = FMT_ERR;
   }
 
-  void sam_line(const std::string& l, bool headerless_first) {
-    if (!headerless_first && !l.empty() && l[0] == '@') return;  // header line
+  void sam_line(const std::string& l) {
+    // getEsm (ntcard.cpp:220-224) skips '@' lines only until the first
+    // non-'@' line; a mid-file '@' line is parsed as an alignment (whose
+    // missing fields inherit the previous line's values).
+    if (!sam_header_done) {
+      if (!l.empty() && l[0] == '@') return;
+      sam_header_done = true;
+    }
     std::vector<std::string> toks;
     split_ws(l, toks);
     size_t m = toks.size() < 11 ? toks.size() : 11;
@@ -191,7 +204,7 @@ struct Packer {
         }
         break;
       case FMT_SAM:
-        sam_line(std::string(s, m), false);
+        sam_line(std::string(s, m));
         break;
       default:
         break;  // FMT_ERR: ignore the rest
@@ -234,6 +247,11 @@ struct Packer {
       handle_line(line.data(), line.size());
       line.clear();
     }
+    // lenient (nthll) mode: an empty file is processed silently as one empty
+    // headerless-SAM record, matching the Python path (readers.sniff_lenient
+    // on EOF yields SAM with an empty first alignment) and nthll's no-error
+    // reader loop (nthll.cpp:224-235).
+    if (lenient && !sniffed) sniff(std::string());
     // FASTA's accumulated last record is emitted at EOF
     if (fmt == FMT_FASTA && fa_open) {
       add_record(fa_seq);
@@ -252,6 +270,7 @@ struct Packer {
     fq_phase = 0;
     fq_seq.clear();
     for (auto& f : sam_fields) f.clear();
+    sam_header_done = false;
   }
 
   long flush_pad() {

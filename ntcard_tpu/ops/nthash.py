@@ -89,21 +89,37 @@ def _shift_prev(x):
     return jnp.pad(x[:-1], ((1, 0), (0, 0)))
 
 
+def unpack_rows(codes: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of io.packing.pack_rows: [B/2, L] uint8 row-paired
+    nibble batch -> [L, B] transposed code stream (hi nibble = chunk row b,
+    lo nibble = chunk row b + B/2).
+
+    Chunk rows are independent (each carries its own halo) and the sketch
+    fold commutes, so pairing arbitrary rows into one byte is semantics-free.
+    Unpacking is two constant shifts + one lane-axis concat; it halves the
+    host->device payload, which matters because transfers issued while
+    compute is in flight degrade super-linearly with size on the tunneled
+    TPU runtime (docs/TPU_BACKEND_NOTES.md)."""
+    p = codes.T  # [L, B/2]
+    return jnp.concatenate([p >> 4, p & 0x0F], axis=1)
+
+
 def window_hashes(
     codes: jnp.ndarray,
     ks: Sequence[int],
     stride: int,
     mask_positions: Sequence[int] | None = None,
+    packed: bool = False,
 ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Canonical (spaced) window hashes for every k.
 
-    codes: [B, L] uint8. Returns {k: (hi, lo, valid)}, each [stride, B]
-    (position-major)."""
-    B, L = codes.shape
+    codes: [B, L] uint8 (or [B/2, L] row-paired nibbles when ``packed``).
+    Returns {k: (hi, lo, valid)}, each [stride, B] (position-major)."""
     if mask_positions and len(ks) != 1:
         raise ValueError("spaced seeds support a single k only (reference parity)")
 
-    cT = codes.T  # [L, B] uint8
+    cT = unpack_rows(codes) if packed else codes.T  # [L, B] uint8
+    L, B = cT.shape
     mneg, ky, kyc = _position_consts(L, B)
 
     # g(j) = P^(-j)(seed(b_j)), gc(j) = P^(+j)(seed(comp b_j)): select-chain
@@ -213,12 +229,13 @@ def sketch_scan(
     s_bits: int,
     r_bits: int,
     mask_positions: Sequence[int] | None = None,
+    packed: bool = False,
 ) -> Tuple[Dict[int, jnp.ndarray], Dict[int, jnp.ndarray]]:
     """Fused hash+sample kernel for ntcard: per k, a flat [S*B] int32 array of
     count-table indices (sentinel 2^(r_bits+1) where no update) plus the exact
     valid-window count (F1 contribution)."""
     emit = make_sketch_emit(s_bits, r_bits)
-    hashes = window_hashes(codes, tuple(ks), stride, mask_positions)
+    hashes = window_hashes(codes, tuple(ks), stride, mask_positions, packed=packed)
     idx = {}
     f1 = {}
     for k in ks:
@@ -275,9 +292,9 @@ def make_hll_emit(n_bits: int):
     return emit
 
 
-def hll_scan(codes: jnp.ndarray, k: int, stride: int, n_bits: int):
+def hll_scan(codes: jnp.ndarray, k: int, stride: int, n_bits: int, packed: bool = False):
     """Fused hash+HLL kernel for nthll: flat [S*B] (register index, run0)."""
     emit = make_hll_emit(n_bits)
-    ch, cl, valid = window_hashes(codes, (k,), stride)[k]
+    ch, cl, valid = window_hashes(codes, (k,), stride, packed=packed)[k]
     reg, run0 = emit(ch, cl, valid)
     return reg.reshape(-1), run0.reshape(-1)

@@ -37,18 +37,23 @@ def data_mesh(n_devices: int = 0) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "ks", "stride", "s_bits", "r_bits", "mask_positions"),
+    static_argnames=("mesh", "ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
-def _sketch_update_sharded(tables, f1s, codes, mesh, ks, stride, s_bits, r_bits, mask_positions):
+def _sketch_update_sharded(
+    tables, f1s, codes, mesh, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
     """tables [D, nK, 2*rbuck+1] / f1s [D, nK] sharded on D; codes [D*B, L]
-    sharded on rows. Each device folds its rows into its private table."""
+    sharded on rows (nibble-packed rows when ``packed`` — the pairing is
+    global across the batch but chunk rows are order-independent, so each
+    shard unpacking its own slice is exact). Each device folds its rows into
+    its private table."""
 
     from ntcard_tpu.models.sketch import _u64_acc_add
 
     def local(tbl, f1, c):
         tbl, f1 = tbl[0], f1[0]
-        idx, f1k = sketch_scan(c, ks, stride, s_bits, r_bits, mask_positions)
+        idx, f1k = sketch_scan(c, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
         new_t = []
         new_f = []
         for i, k in enumerate(ks):
@@ -108,8 +113,9 @@ class ShardedCountTableSketch:
             for i in range(len(self.ks))
         ]
 
-    def update(self, codes: np.ndarray) -> None:
-        """codes: [n_dev * rows, L] with rows a multiple of 128."""
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
+        """codes: [n_dev * rows, L] with rows a multiple of 128 (halved when
+        ``packed`` — io.packing.pack_rows wire format)."""
         codes = jax.device_put(codes, self._row_sharding)
         self.tables, self.f1s = _sketch_update_sharded(
             self.tables,
@@ -121,6 +127,7 @@ class ShardedCountTableSketch:
             self.s_bits,
             self.r_bits,
             self.gap_positions,
+            packed,
         )
 
     def save(self, path: str) -> None:
@@ -153,10 +160,12 @@ class ShardedCountTableSketch:
         return out
 
 
-@partial(jax.jit, static_argnames=("mesh", "k", "stride", "n_bits"), donate_argnums=(0,))
-def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits):
+@partial(
+    jax.jit, static_argnames=("mesh", "k", "stride", "n_bits", "packed"), donate_argnums=(0,)
+)
+def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits, packed=False):
     def local(r, c):
-        reg_idx, run0 = hll_scan(c, k, stride, n_bits)
+        reg_idx, run0 = hll_scan(c, k, stride, n_bits, packed=packed)
         return r[0].at[reg_idx].max(run0)[None]
 
     return jax.shard_map(
@@ -183,10 +192,10 @@ class ShardedHllSketch:
         self.regs = jax.device_put(jnp.zeros((self.n_dev, self.n_buck), jnp.int32), shard)
         self._row_sharding = shard
 
-    def update(self, codes: np.ndarray) -> None:
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
         codes = jax.device_put(codes, self._row_sharding)
         self.regs = _hll_update_sharded(
-            self.regs, codes, self.mesh, self.k, self.stride, self.n_bits
+            self.regs, codes, self.mesh, self.k, self.stride, self.n_bits, packed
         )
 
     def registers(self) -> np.ndarray:

@@ -31,6 +31,13 @@ def iter_file_records(
     for path in paths:
         try:
             stream = open_input(path)
+        except DecompressError as e:
+            # missing filter program: clean fail-fast, mirroring the
+            # reference's SIGCHLD reaper contract (SignalHandler.cpp:38-52)
+            if on_error == "skip":
+                continue
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(1)
         except (OSError, ValueError):
             if on_error == "skip":
                 continue
@@ -41,6 +48,8 @@ def iter_file_records(
                 try:
                     yield from records_from_stream(stream, path, lenient=lenient)
                 except ValueError:
+                    if on_error == "skip":
+                        continue
                     print(f"Error in reading file: {path}", file=sys.stderr)
                     raise SystemExit(1)
         except DecompressError as e:
@@ -160,21 +169,30 @@ def parallel_batches_from_files(
         raise errs[0]
 
 
-def device_prefetch(iterator: Iterable, depth: int = 2) -> Iterator:
-    """prefetch() plus an explicit, completed host->device transfer in the
-    feeder thread.
+def device_prefetch(iterator: Iterable, depth: int = 2, pack: bool = False) -> Iterator:
+    """prefetch() plus an explicit async host->device transfer in the feeder
+    thread.
 
     Feeding numpy batches straight into a jitted update lets the implicit
     transfer enqueue *behind* in-flight compute; on tunneled TPU runtimes
     that serializes pathologically (multi-second stalls per batch — measured
     5 s/batch vs 160 ms). An explicit async device_put issued from the
     feeder thread keeps the compute queue clean. On CPU backends this is a
-    cheap no-op pass-through."""
+    cheap no-op pass-through.
+
+    ``pack=True`` additionally nibble-packs each [B, L] batch to [B/2, L]
+    (io.packing.pack_rows) before the transfer — consumers must then call
+    update(batch, packed=True). Transfers issued while compute is in flight
+    cost super-linearly in size on the tunneled runtime (an 8.4 MB put adds
+    ~100 ms, a 4.2 MB put ~10 ms — docs/TPU_BACKEND_NOTES.md), so halving
+    the wire size takes the feeder off the critical path entirely."""
     import jax
+
+    from ntcard_tpu.io.packing import pack_rows
 
     def put(it):
         for b in it:
-            yield jax.device_put(b)
+            yield jax.device_put(pack_rows(b) if pack else b)
 
     yield from prefetch(put(iterator), depth=depth)
 

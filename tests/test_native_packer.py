@@ -109,6 +109,60 @@ def test_sam_short_line_persistence(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_sam_midfile_at_line_is_alignment(tmp_path):
+    # getEsm (ntcard.cpp:220-224) skips only the LEADING header: a stray
+    # mid-file '@' line is parsed as an alignment whose missing fields
+    # inherit the previous line's values (reference-verified: such a file
+    # yields records [SEQ1, SEQ1, SEQ2], F1=15 at k=12 for 16 bp seqs).
+    sam = tmp_path / "mid.sam"
+    sam.write_bytes(
+        b"@HD\tVN:1.6\n"
+        b"r1\t0\tc\t1\t60\t*\t*\t0\t0\tACGTACGTACGTACGT\tIIII\n"
+        b"@CO\tstray comment\n"
+        b"r2\t0\tc\t1\t60\t*\t*\t0\t0\tTTTTTTTTTTTTTTTT\tIIII\n"
+    )
+    want = python_batches([sam])
+    got = native_batches([sam])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    # and the stream contains three records (the '@CO' one repeats SEQ1)
+    packer = StreamPacker(CHUNK, ROWS, KMAX)
+    with open_input(str(sam)) as f:
+        recs = list(records_from_stream(f, str(sam)))
+    assert recs == [b"ACGTACGTACGTACGT", b"ACGTACGTACGTACGT", b"TTTTTTTTTTTTTTTT"]
+
+
+def test_headerless_sam_five_fields(tmp_path):
+    # getftype (ntcard.cpp:124-128) needs only fields 2 and 5 numeric;
+    # istringstream leaves missing s6..s11 empty — no 11-field minimum.
+    sam = tmp_path / "hless.sam"
+    sam.write_bytes(
+        b"r1\t0\tc\t1\t60\n"
+        b"r2\t0\tc\t1\t60\t*\t*\t0\t0\tACGTACGTACGTACGT\tIIII\n"
+    )
+    want = python_batches([sam])
+    got = native_batches([sam])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    with open_input(str(sam)) as f:
+        recs = list(records_from_stream(f, str(sam)))
+    assert recs == [b"", b"ACGTACGTACGTACGT"]
+
+
+def test_lenient_empty_file_is_silent(tmp_path):
+    # nthll processes an empty file silently (its reader loop has no error
+    # path); both paths must yield one empty record, not an error.
+    empty = tmp_path / "empty.fq"
+    empty.write_bytes(b"")
+    want = python_batches([empty], lenient=True)
+    got = native_batches([empty], lenient=True)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_unknown_format_errors(tmp_path):
     bad = tmp_path / "bad.txt"
     bad.write_text("not a sequence file at all\n")

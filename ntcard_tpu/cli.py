@@ -60,6 +60,11 @@ class Opts:
         self.devices = 0  # 0 = all local devices
         self.metrics = False
         self.save_sketch = ""
+        # multi-host launch (also settable via NTCARD_COORDINATOR /
+        # NTCARD_NUM_PROCESSES / NTCARD_PROCESS_ID env)
+        self.coordinator = ""
+        self.num_hosts = 0
+        self.host_id = -1
 
 
 def _uint(s: str, flag: str) -> int:
@@ -93,6 +98,9 @@ def parse_args(argv: List[str]) -> tuple:
                 "devices=",
                 "metrics",
                 "save-sketch=",
+                "coordinator=",
+                "num-hosts=",
+                "host-id=",
                 "help",
                 "version",
             ],
@@ -130,6 +138,12 @@ def parse_args(argv: List[str]) -> tuple:
             opt.metrics = True
         elif flag == "--save-sketch":
             opt.save_sketch = val
+        elif flag == "--coordinator":
+            opt.coordinator = val
+        elif flag == "--num-hosts":
+            opt.num_hosts = _uint(val, "-num-hosts")
+        elif flag == "--host-id":
+            opt.host_id = _uint(val, "-host-id")
         elif flag == "--help":
             sys.stderr.write(USAGE_MESSAGE)
             raise SystemExit(0)
@@ -177,14 +191,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         device_prefetch,
         parallel_batches_from_files,
     )
+    from ntcard_tpu.parallel.multihost import (
+        host_file_assignment,
+        initialize_distributed,
+        merged_finalize,
+    )
     from ntcard_tpu.utils.metrics import Metrics
+
+    # multi-host: initialize the distributed runtime BEFORE any backend use;
+    # each host then processes only its deterministic file slice and the
+    # tables merge at finalize (DCN psum analog of ntcard.cpp:142-143).
+    proc_id, n_procs = initialize_distributed(
+        opt.coordinator or None,
+        opt.num_hosts or None,
+        opt.host_id if opt.host_id >= 0 else None,
+    )
 
     in_files = expand_file_args(args)
 
-    # <50 GB heuristic overrides -s after parsing (ntcard.cpp:427-431).
+    # <50 GB heuristic overrides -s after parsing (ntcard.cpp:427-431) —
+    # over the GLOBAL input, so every host picks the same sBits.
     total_size = sum(input_size(f) for f in in_files)
     if total_size < 50_000_000_000:
         opt.s_bits = 7
+
+    if n_procs > 1:
+        sizes = [input_size(f) for f in in_files]
+        in_files = host_file_assignment(in_files, sizes, n_procs, proc_id)
 
     ks = opt.k_list
     kmax = max(ks)
@@ -203,7 +236,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     stride = aligned_stride(chunk_len, kmax)
     n_dev = opt.devices or len(jax.devices())
-    if n_dev > 1:
+    if n_procs > 1:
+        # per-host private sketch on the host's first local device; the
+        # cross-host merge happens once at finalize (merged_finalize)
+        sketch = CountTableSketch(
+            ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
+        )
+    elif n_dev > 1:
         sketch = ShardedCountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions, n_devices=n_dev
         )
@@ -226,7 +265,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if opt.save_sketch:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):
-        state = sketch.finalize(cov_max=opt.cov_max)
+        if n_procs > 1:
+            state = merged_finalize(sketch, cov_max=opt.cov_max)
+        else:
+            state = sketch.finalize(cov_max=opt.cov_max)
     metrics.stop_profile()
 
     results = {}
@@ -236,10 +278,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
 
     with metrics.phase("output"):
-        if not opt.output:
-            write_default(opt.prefix, ks, results, opt.cov_max)
-        else:
-            write_compact(opt.output, ks, results, opt.cov_max)
+        # multi-host: every process derives the identical merged state, but
+        # only process 0 writes (single-writer, like the reference's one node)
+        if proc_id == 0:
+            if not opt.output:
+                write_default(opt.prefix, ks, results, opt.cov_max)
+            else:
+                write_compact(opt.output, ks, results, opt.cov_max)
 
     metrics.add("reads", stats.get("records", 0))
     metrics.add("bases", stats.get("bases", 0))

@@ -74,3 +74,56 @@ def global_data_mesh():
     from jax.sharding import Mesh
 
     return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def merged_finalize(sketch, cov_max: int = 65535):
+    """Cross-host finalize: all-gather every process's private count table
+    over DCN, sum (the psum analog of the reference's shared-table atomics,
+    ntcard.cpp:142-143, lifted across hosts), and compute the counter-value
+    histograms. Every process returns the identical result; addition
+    commutes mod 2^16, so the merged histogram is bit-identical to a
+    single-process run over the union of the inputs.
+
+    ``sketch`` is a models.sketch.CountTableSketch (per-host private state);
+    single-process calls fall through to its own finalize()."""
+    import jax
+
+    if jax.process_count() == 1:
+        return sketch.finalize(cov_max=cov_max)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ntcard_tpu.models.sketch import _counter_hists
+
+    local = np.asarray(sketch.tables)  # [nK, 2*rbuck+1] int32
+    gathered = multihost_utils.process_allgather(local)  # [P, nK, 2*rbuck+1]
+    # sum in int64 then wrap mod 2^16 — all the estimator ever reads
+    # (_counter_hists masks to uint16 anyway), and it keeps the cast to
+    # int32 safe for any process count
+    merged = jnp.asarray(gathered.sum(axis=0, dtype=np.int64) & 0xFFFF, dtype=np.int32)
+    f1_local = np.asarray(sketch._f1_totals(), np.int64)
+    f1_all = multihost_utils.process_allgather(f1_local).sum(axis=0)
+
+    nbins = min(cov_max + 1, 65536)
+    hists = np.asarray(_counter_hists(merged, sketch.r_buck)[:, :, :nbins])
+    out = {}
+    for i, k in enumerate(sketch.ks):
+        out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1_all[i])}
+    return out
+
+
+def merged_hll_registers(sketch) -> "np.ndarray":
+    """Cross-host HLL merge: elementwise max over every process's registers
+    (the pmax lift of nthll's critical-section merge, nthll.cpp:238-244)."""
+    import jax
+    import numpy as np
+
+    local = sketch.registers()
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local.astype(np.int32))
+    return gathered.max(axis=0).astype(np.uint8)

@@ -1,7 +1,17 @@
-"""Multi-host orchestration helpers: the per-host input partition must be
-deterministic, disjoint, and complete for any host count."""
+"""Multi-host orchestration: the per-host input partition must be
+deterministic, disjoint, and complete for any host count; and a real
+2-process jax.distributed run (CPU mesh as the fake cluster, SURVEY.md §4)
+must produce the byte-identical histogram to a single-process run."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 from ntcard_tpu.parallel.multihost import host_file_assignment
+
+DATA = Path(__file__).parent / "data"
+GOLDEN = Path(__file__).parent / "golden"
 
 
 def test_assignment_partition():
@@ -14,6 +24,39 @@ def test_assignment_partition():
         # deterministic
         again = [host_file_assignment(files, sizes, n_hosts, h) for h in range(n_hosts)]
         assert slices == again
+
+
+def test_two_process_distributed_run(tmp_path):
+    """Launch the REAL CLI as two jax.distributed processes (coordinator on
+    localhost, CPU backend): each host decodes its own file slice, the
+    tables merge over the Gloo 'DCN' at finalize, and process 0's output
+    must byte-match the single-process combined golden
+    (tests/golden/both_k12.hist.good)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out0 = tmp_path / "h0"
+    out1 = tmp_path / "h1"
+    procs = []
+    for pid, pref in ((0, out0), (1, out1)):
+        cmd = [
+            sys.executable, "-m", "ntcard_tpu.cli",
+            "-k12", "-c1000", "-r16",
+            "-p", str(pref),
+            "--coordinator", f"localhost:{port}",
+            "--num-hosts", "2", "--host-id", str(pid),
+            str(DATA / "reads.fq"), str(DATA / "contig.fa"),
+        ]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    got = (tmp_path / "h0_k12.hist").read_bytes()
+    want = (GOLDEN / "both_k12.hist.good").read_bytes()
+    assert got == want
+    # single-writer contract: only process 0 writes output
+    assert not (tmp_path / "h1_k12.hist").exists()
 
 
 def test_assignment_balances_bytes():

@@ -59,7 +59,7 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, pack
 
 
 @partial(jax.jit, static_argnames=("r_buck",))
-def _counter_hists(tables, r_buck):
+def _counter_hists_device(tables, r_buck):
     """[nK, 2*r_buck+1] int32 -> [nK, 2, 65536] int32 histograms of the
     mod-2^16-wrapped counter values (compEst's p[sample][v], ntcard.cpp:
     240-247) — computed on device so only ~0.5 MB/k crosses to the host
@@ -70,6 +70,30 @@ def _counter_hists(tables, r_buck):
         return jnp.zeros((65536,), jnp.int32).at[row].add(1)
 
     return jax.vmap(jax.vmap(hist1))(t)
+
+
+def _counter_hists(tables, r_buck):
+    """Counter-value histograms, routed by where the table lives: XLA's CPU
+    scatter is serial and pathologically slow at rBits=27 (tens of seconds
+    for 2^28 elements), so host tables go through np.bincount (~0.5 s/GiB);
+    on accelerators the device scatter wins because the table never crosses
+    the (slow) device->host link."""
+    dev = next(iter(tables.devices())) if hasattr(tables, "devices") else None
+    if dev is not None and dev.platform != "cpu":
+        return _counter_hists_device(tables, r_buck)
+    from ntcard_tpu import native
+
+    arr = np.asarray(tables)  # zero-copy view of a host-resident jax array
+    nk = tables.shape[0]
+    out = np.empty((nk, 2, 65536), np.int64)
+    for i in range(nk):
+        for s in range(2):
+            row = arr[i, s * r_buck : (s + 1) * r_buck]  # contiguous view
+            h = native.hist_u16(row)
+            if h is None:
+                h = np.bincount(row.astype(np.uint16), minlength=65536)
+            out[i, s] = h
+    return out.astype(np.int32)
 
 
 class CountTableSketch:

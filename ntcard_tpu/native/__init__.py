@@ -85,7 +85,29 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.ntcard_hist_u16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
     return lib
+
+
+def hist_u16(table: "np.ndarray"):
+    """Threaded C histogram of the uint16-wrapped values of a contiguous
+    int32 array (compEst's table scan, ntcard.cpp:240-247). Returns
+    int64[65536], or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(table, dtype=np.int32)
+    out = np.zeros(65536, dtype=np.int64)
+    lib.ntcard_hist_u16(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    return out
 
 
 def f_recursion(p_mean, cov_max: int, denom: float, p0: float):

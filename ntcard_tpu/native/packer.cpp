@@ -22,10 +22,12 @@
 // Built as a plain shared library, driven through ctypes (no pybind11 in
 // this image). All heavy loops run with the GIL released.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -349,6 +351,33 @@ void ntcard_f_recursion(const double* p_mean, long cov_max, double denom,
     double sum = 0.0;
     for (long j = 1; j < i; j++) sum += j * p_mean[i - j] * fm[j];
     fm[i] = -1.0 * p_mean[i] / denom - sum / (i * p0);
+  }
+}
+
+// Histogram of the mod-2^16-wrapped values of an int32 count-table slice
+// (compEst's p[sample][v] table scan, reference ntcard.cpp:240-247). One
+// streaming pass with per-thread local histograms; the numpy equivalent
+// (slice -> astype(uint16) -> bincount) materializes several GiB of
+// temporaries and is ~20x slower on a 2^27-bucket table.
+void ntcard_hist_u16(const int32_t* table, long long n, long long* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min(16u, hw ? hw : 1u);
+  long long chunk = (n + nt - 1) / nt;
+  std::vector<std::vector<long long>> local(nt);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++) {
+    threads.emplace_back([&, t]() {
+      std::vector<long long>& h = local[t];
+      h.assign(65536, 0);
+      long long lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (long long i = lo; i < hi; i++) h[(uint32_t)table[i] & 0xFFFFu]++;
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int v = 0; v < 65536; v++) {
+    long long s = 0;
+    for (int t = 0; t < nt; t++) s += local[t][v];
+    out[v] = s;
   }
 }
 

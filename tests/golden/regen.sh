@@ -55,4 +55,10 @@ cp "$TMP/b_k12.hist" both_k12.hist.good
 # 7. nthll F0 (stdout), k=25 default 16-bit registers
 run $NTHLL -k25 "$PWD/$DATA/reads.fq" > nthll_k25.out.good 2>/dev/null
 
+# 8. DEFAULT rBits=27 (no -r flag; ntcard.cpp:60) — the configuration every
+# real user runs; exercises the 2^27-bucket table + finalize path. Slow for
+# the reference (~2.5 s: 1 GiB table alloc + 2*2^27 scan).
+run $NTCARD -k12 -c1000 -p d "$PWD/$DATA/reads.fq" 2>/dev/null
+cp "$TMP/d_k12.hist" reads_r27_k12.hist.good
+
 echo "goldens regenerated"

@@ -253,6 +253,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
     metrics = Metrics(opt.metrics)
     stats: dict = {}
+    stages: dict = {}
     metrics.start_profile()
     with metrics.phase("pipeline"):
         for batch in device_prefetch(
@@ -260,8 +261,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats
             ),
             pack=True,
+            stage_times=stages if metrics.enabled else None,
         ):
-            sketch.update(batch, packed=True)
+            with metrics.phase("pipeline.dispatch"):
+                sketch.update(batch, packed=True)
+    for name in ("decode", "pack", "h2d"):
+        if name in stages:
+            metrics.phases[f"pipeline.{name}"] = stages[name]
     if opt.save_sketch:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):

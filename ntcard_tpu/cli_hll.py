@@ -78,22 +78,41 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
 
+    from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
     from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
+    from ntcard_tpu.parallel.multihost import (
+        host_file_assignment,
+        initialize_distributed,
+        merged_hll_registers,
+    )
     from ntcard_tpu.pipeline import (
         default_geometry,
         device_prefetch,
         parallel_batches_from_files,
     )
 
+    # multi-host (env-driven: NTCARD_COORDINATOR / NTCARD_NUM_PROCESSES /
+    # NTCARD_PROCESS_ID): per-host file slice, registers max-merged over DCN
+    # — nthll's thread-private-sketch pattern (nthll.cpp:218-245) lifted
+    # across hosts.
+    proc_id, n_procs = initialize_distributed()
+
     in_files = expand_file_args(args)
+    if n_procs > 1:
+        sizes = [input_size(f) for f in in_files]
+        in_files = host_file_assignment(in_files, sizes, n_procs, proc_id)
 
     chunk_len, batch_rows = default_geometry(km_len)
     stride = aligned_stride(chunk_len, km_len)
-    n_dev = len(jax.devices())
-    if n_dev > 1:
+    n_dev = len(jax.local_devices())
+    if n_procs > 1:
+        # per-host private registers; the cross-host max-merge happens once
+        # at the end (merged_hll_registers)
+        sketch = HllSketch(km_len, n_bits, stride)
+    elif n_dev > 1:
         sketch = ShardedHllSketch(km_len, n_bits, stride, n_devices=n_dev)
         batch_rows = max(128, batch_rows // n_dev) * n_dev
     else:
@@ -110,8 +129,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         pack=True,
     ):
         sketch.update(batch, packed=True)
-    f0 = estimate_f0(sketch.registers(), canon=True)
-    sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")
+    regs = merged_hll_registers(sketch) if n_procs > 1 else sketch.registers()
+    if proc_id == 0:
+        f0 = estimate_f0(regs, canon=True)
+        sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")
     return 0
 
 

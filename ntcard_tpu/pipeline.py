@@ -169,7 +169,12 @@ def parallel_batches_from_files(
         raise errs[0]
 
 
-def device_prefetch(iterator: Iterable, depth: int = 2, pack: bool = False) -> Iterator:
+def device_prefetch(
+    iterator: Iterable,
+    depth: int = 2,
+    pack: bool = False,
+    stage_times: Optional[dict] = None,
+) -> Iterator:
     """prefetch() plus an explicit async host->device transfer in the feeder
     thread.
 
@@ -194,7 +199,30 @@ def device_prefetch(iterator: Iterable, depth: int = 2, pack: bool = False) -> I
         for b in it:
             yield jax.device_put(pack_rows(b) if pack else b)
 
-    yield from prefetch(put(iterator), depth=depth)
+    def put_timed(it):
+        # cumulative per-stage seconds measured inside the feeder thread:
+        # decode = waiting on the upstream batch generator (host decode+pack
+        # into [B, L] codes, incl. any queue waits), pack = nibble wire
+        # packing, h2d = issuing the async device transfer
+        import time as _time
+
+        st = stage_times
+        t_last = _time.perf_counter()
+        for b in it:
+            t0 = _time.perf_counter()
+            st["decode"] = st.get("decode", 0.0) + (t0 - t_last)
+            p = pack_rows(b) if pack else b
+            t1 = _time.perf_counter()
+            st["pack"] = st.get("pack", 0.0) + (t1 - t0)
+            d = jax.device_put(p)
+            t2 = _time.perf_counter()
+            st["h2d"] = st.get("h2d", 0.0) + (t2 - t1)
+            st["batches"] = st.get("batches", 0) + 1
+            yield d
+            t_last = _time.perf_counter()
+
+    gen = put(iterator) if stage_times is None else put_timed(iterator)
+    yield from prefetch(gen, depth=depth)
 
 
 def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:

@@ -59,6 +59,43 @@ def test_two_process_distributed_run(tmp_path):
     assert not (tmp_path / "h1_k12.hist").exists()
 
 
+def test_two_process_nthll(tmp_path):
+    """nthll across two jax.distributed processes (env-driven launch):
+    per-host file slices, registers max-merged over DCN, process 0 prints —
+    must equal the single-process run over both files."""
+    import os
+
+    single = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli_hll", "-k25",
+         str(DATA / "reads.fq"), str(DATA / "contig.fa")],
+        capture_output=True, timeout=600,
+    )
+    assert single.returncode == 0, single.stderr.decode()[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ,
+                   NTCARD_COORDINATOR=f"localhost:{port}",
+                   NTCARD_NUM_PROCESSES="2",
+                   NTCARD_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ntcard_tpu.cli_hll", "-k25",
+             str(DATA / "reads.fq"), str(DATA / "contig.fa")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    # Gloo may emit rank banners on stdout; the F0 line itself must equal
+    # the single-process run's (process 0 prints the merged result)
+    f0_lines = [l for l in outs[0][0].splitlines() if l.startswith(b"F0,")]
+    assert f0_lines == single.stdout.splitlines()
+    assert not any(l.startswith(b"F0,") for l in outs[1][0].splitlines())
+
+
 def test_assignment_balances_bytes():
     files = [f"f{i}" for i in range(16)]
     sizes = [2 ** (20 - i) for i in range(16)]  # heavily skewed

@@ -94,7 +94,7 @@ def measure_ours(fq: Path) -> float:
         sketch = CountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
         t0 = time.perf_counter()
         for batch in device_prefetch(
-            batches_from_files([str(fq)], chunk_len, batch_rows, K), pack=True
+            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=True)
         ):
             sketch.update(batch, packed=True)
         state = sketch.finalize(cov_max=64)

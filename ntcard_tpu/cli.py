@@ -258,9 +258,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     with metrics.phase("pipeline"):
         for batch in device_prefetch(
             parallel_batches_from_files(
-                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats
+                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+                wire_packed=True,
             ),
-            pack=True,
             stage_times=stages if metrics.enabled else None,
         ):
             with metrics.phase("pipeline.dispatch"):

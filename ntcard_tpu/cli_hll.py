@@ -124,9 +124,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     for batch in device_prefetch(
         parallel_batches_from_files(
             in_files, chunk_len, batch_rows, km_len, n_thrd,
-            lenient=True, on_error="skip",
+            lenient=True, on_error="skip", wire_packed=True,
         ),
-        pack=True,
     ):
         sketch.update(batch, packed=True)
     regs = merged_hll_registers(sketch) if n_procs > 1 else sketch.registers()

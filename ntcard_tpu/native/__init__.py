@@ -73,6 +73,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.packer_flush.argtypes = [ctypes.c_void_p]
     lib.packer_pop.restype = ctypes.c_int
     lib.packer_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.packer_pop_packed.restype = ctypes.c_int
+    lib.packer_pop_packed.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.packer_stats.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_longlong),
@@ -140,7 +142,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
 class NativePacker:
     """C++ decode+pack over raw decompressed byte streams."""
 
-    def __init__(self, chunk_len: int, batch_rows: int, kmax: int, lenient: bool = False):
+    def __init__(
+        self,
+        chunk_len: int,
+        batch_rows: int,
+        kmax: int,
+        lenient: bool = False,
+        wire_packed: bool = False,
+    ):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native packer unavailable")
@@ -149,6 +158,10 @@ class NativePacker:
         self.chunk_len = chunk_len
         self.batch_rows = batch_rows
         self.stride = lib.packer_stride(self._h)
+        # wire_packed: pop [B/2, L] nibble-packed batches (the H2D wire
+        # format, io/packing.pack_rows layout) fused in C — saves a full
+        # numpy pass over every base on the hot path
+        self.wire_packed = wire_packed
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -157,9 +170,13 @@ class NativePacker:
             self._h = None
 
     def _pop_all(self) -> Iterator[np.ndarray]:
+        if self.wire_packed:
+            pop, rows = self._lib.packer_pop_packed, self.batch_rows // 2
+        else:
+            pop, rows = self._lib.packer_pop, self.batch_rows
         while True:
-            out = np.empty((self.batch_rows, self.chunk_len), np.uint8)
-            if not self._lib.packer_pop(self._h, out.ctypes.data_as(ctypes.c_void_p)):
+            out = np.empty((rows, self.chunk_len), np.uint8)
+            if not pop(self._h, out.ctypes.data_as(ctypes.c_void_p)):
                 return
             yield out
 
@@ -200,6 +217,7 @@ def native_batches_from_files(
     io_chunk: int = 1 << 22,
     on_error: str = "exit",
     stats_out: Optional[dict] = None,
+    wire_packed: bool = False,
 ) -> Iterator[np.ndarray]:
     """Native-path equivalent of pipeline.batches_from_files.
 
@@ -210,7 +228,7 @@ def native_batches_from_files(
 
     from ntcard_tpu.io.decompress import DecompressError, open_input
 
-    packer = NativePacker(chunk_len, batch_rows, kmax, lenient)
+    packer = NativePacker(chunk_len, batch_rows, kmax, lenient, wire_packed=wire_packed)
     for path in paths:
         try:
             stream = open_input(path)

@@ -25,7 +25,6 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <deque>
 #include <string>
 #include <thread>
 #include <vector>
@@ -51,23 +50,28 @@ struct Packer {
   // geometry
   int chunk_len, batch_rows, kmax, stride;
   size_t batch_span, need;
-  // code stream
+  // code stream. Layout: [0, n) committed record bytes (incl. separators)
+  // not yet consumed by pops; [n, n + pend) the in-progress record,
+  // translated eagerly but uncommitted (FASTQ truncation semantics: a
+  // sequence line whose quality line never arrives is dropped by resetting
+  // pend — reference getEfq counts a record only when its 4th line
+  // completes, ntcard.cpp:173-189). Batches are composed directly from this
+  // buffer at pop time (no intermediate batch materialization): the fewest
+  // possible passes over every base — translate-in, compose-out.
   std::vector<uint8_t> buf;
-  size_t n = 0;     // filled bytes
-  size_t real = 0;  // real (non-pad) bytes
-  std::deque<std::vector<uint8_t>> ready;
+  size_t n = 0;     // committed bytes
+  size_t pend = 0;  // uncommitted in-progress record bytes past n
+  bool flushed = false;
   long long records = 0, bases = 0;
   // parser state
   bool lenient;
   int fmt = FMT_UNKNOWN;
   bool sniffed = false;
-  std::string line;  // partial line
+  std::string line;  // partial line carried across feed chunks
   int fq_phase = 0;  // 0=seq 1='+' 2=qual 3=header
-  std::string fq_seq;
-  std::string fa_seq;
-  bool fa_open = false;
   std::string sam_fields[11];
   bool sam_header_done = false;
+  bool fa_open = false;
 
   Packer(int cl, int br, int km, bool len)
       : chunk_len(cl), batch_rows(br), kmax(km), lenient(len) {
@@ -78,35 +82,67 @@ struct Packer {
   }
 
   void grow(size_t extra) {
-    if (n + extra > buf.size()) buf.resize(std::max(n + extra, buf.size() * 2));
+    if (n + pend + extra > buf.size())
+      buf.resize(std::max(n + pend + extra, buf.size() * 2));
   }
 
-  void emit_batches() {
-    while (n >= need) {
-      std::vector<uint8_t> out((size_t)batch_rows * chunk_len);
-      for (int r = 0; r < batch_rows; r++)
-        memcpy(out.data() + (size_t)r * chunk_len, buf.data() + (size_t)r * stride,
-               chunk_len);
-      ready.push_back(std::move(out));
-      size_t rest = n - batch_span;
-      memmove(buf.data(), buf.data() + batch_span, rest);
-      n = rest;
-      real = real > batch_span ? real - batch_span : 0;
-    }
+  size_t ready_count() const {
+    return n >= need ? 1 + (n - need) / batch_span : 0;
+  }
+
+  // append bases of the in-progress record (ASCII -> 2-bit-ish codes)
+  void pend_append(const char* s, size_t m) {
+    grow(m);
+    uint8_t* dst = buf.data() + n + pend;
+    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
+    pend += m;
+  }
+
+  // the in-progress record is complete: separator + stats
+  void commit_record() {
+    records++;
+    bases += (long long)pend;
+    grow(1);
+    buf[n + pend] = 4;  // N separator
+    n += pend + 1;
+    pend = 0;
   }
 
   void add_record(const char* s, size_t m) {
-    records++;
-    bases += (long long)m;
-    grow(m + 1);
-    uint8_t* dst = buf.data() + n;
-    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
-    dst[m] = 4;  // N separator
-    n += m + 1;
-    real = n;
-    emit_batches();
+    pend_append(s, m);
+    commit_record();
   }
   void add_record(const std::string& s) { add_record(s.data(), s.size()); }
+
+  // compose one ready batch straight from the stream buffer; packed=true
+  // nibble-packs to the wire format (io/packing.pack_rows: chunk row r in
+  // the high nibble, row r + B/2 in the low nibble)
+  bool pop_batch(uint8_t* out, bool packed) {
+    if (ready_count() == 0) return false;
+    const uint8_t* b = buf.data();
+    if (packed) {
+      int half = batch_rows / 2;
+      size_t lo_off = (size_t)half * stride;
+      for (int r = 0; r < half; r++) {
+        const uint8_t* hi = b + (size_t)r * stride;
+        const uint8_t* lo = hi + lo_off;
+        uint8_t* dst = out + (size_t)r * chunk_len;
+        for (int j = 0; j < chunk_len; j++)
+          dst[j] = (uint8_t)((hi[j] << 4) | lo[j]);
+      }
+    } else {
+      for (int r = 0; r < batch_rows; r++)
+        memcpy(out + (size_t)r * chunk_len, b + (size_t)r * stride, chunk_len);
+    }
+    size_t rest = n + pend - batch_span;
+    memmove(buf.data(), buf.data() + batch_span, rest);
+    n -= batch_span;
+    if (flushed && ready_count() == 0) {  // stream fully drained: reset
+      n = 0;
+      flushed = false;
+    }
+    return true;
+  }
 
   static bool is_number(const std::string& t) {
     if (t.empty()) return false;
@@ -183,6 +219,30 @@ struct Packer {
     add_record(sam_fields[9]);
   }
 
+  // FASTA bases are never rolled back (a record terminates at '>' or EOF,
+  // both of which commit — ntcard.cpp:191-208), so wrapped lines append as
+  // already-committed stream bytes: batches can pop while a chromosome-scale
+  // contig is still being read, bounding memory (the reference concatenates
+  // the whole contig in RAM first).
+  long long fa_len = 0;
+
+  void fasta_append(const char* s, size_t m) {
+    grow(m);  // pend == 0 in FASTA mode
+    uint8_t* dst = buf.data() + n;
+    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
+    n += m;
+    fa_len += (long long)m;
+  }
+
+  void fasta_end_record() {
+    records++;
+    bases += fa_len;
+    fa_len = 0;
+    grow(1);
+    buf[n] = 4;  // N separator
+    n += 1;
+  }
+
   void handle_line(const char* s, size_t m) {
     if (!sniffed) {
       sniff(std::string(s, m));
@@ -191,18 +251,17 @@ struct Packer {
     switch (fmt) {
       case FMT_FASTQ:
         switch (fq_phase) {
-          case 0: fq_seq.assign(s, m); fq_phase = 1; break;
+          case 0: pend_append(s, m); fq_phase = 1; break;  // sequence line
           case 1: fq_phase = 2; break;        // '+'
-          case 2: add_record(fq_seq); fq_phase = 3; break;  // qual completed
+          case 2: commit_record(); fq_phase = 3; break;  // qual completed
           default: fq_phase = 0; break;       // next record's header
         }
         break;
       case FMT_FASTA:
         if (m && s[0] == '>') {
-          add_record(fa_seq);
-          fa_seq.clear();
+          fasta_end_record();
         } else {
-          fa_seq.append(s, m);
+          fasta_append(s, m);
         }
         break;
       case FMT_SAM:
@@ -254,12 +313,12 @@ struct Packer {
     // on EOF yields SAM with an empty first alignment) and nthll's no-error
     // reader loop (nthll.cpp:224-235).
     if (lenient && !sniffed) sniff(std::string());
-    // FASTA's accumulated last record is emitted at EOF
+    // FASTA's in-progress last record terminates at EOF
     if (fmt == FMT_FASTA && fa_open) {
-      add_record(fa_seq);
-      fa_seq.clear();
+      fasta_end_record();
       fa_open = false;
     }
+    pend = 0;  // truncated FASTQ record (no completed quality line): dropped
     sniffed_any_ = sniffed;
     fmt_after_finish_ = fmt;
   }
@@ -270,22 +329,27 @@ struct Packer {
     sniffed = false;
     fmt = FMT_UNKNOWN;
     fq_phase = 0;
-    fq_seq.clear();
+    pend = 0;
+    fa_len = 0;
+    fa_open = false;
     for (auto& f : sam_fields) f.clear();
     sam_header_done = false;
   }
 
   long flush_pad() {
-    // pad with N until every real base's windows have an owning chunk
-    while (real > 0) {
-      grow(need - n);
-      memset(buf.data() + n, 4, need - n);
-      n = need;
-      emit_batches();
+    // pad with N so that every committed base's owned window lands in some
+    // chunk: ceil(n / batch_span) more batches, the last one padded out to
+    // `need` (the old emit-loop semantics, deferred to pop time)
+    pend = 0;
+    if (n > 0) {
+      size_t b = (n + batch_span - 1) / batch_span;
+      size_t target = (b - 1) * batch_span + need;
+      grow(target - n);
+      memset(buf.data() + n, 4, target - n);
+      n = target;
+      flushed = true;
     }
-    n = 0;
-    real = 0;
-    return (long)ready.size();
+    return (long)ready_count();
   }
 };
 
@@ -307,7 +371,7 @@ long packer_feed(void* h, const uint8_t* data, long m) {
   Packer* p = (Packer*)h;
   p->feed(data, (size_t)m);
   if (p->fmt == FMT_ERR) return -1;
-  return (long)p->ready.size();
+  return (long)p->ready_count();
 }
 
 // end of current file: flush parser state; returns ready batches (-1 on
@@ -319,7 +383,7 @@ long packer_end_file(void* h) {
   p->finish_stream();  // may sniff a trailing unterminated line
   bool err = (p->sniffed_any_ ? p->fmt_after_finish_ == FMT_ERR : true);
   p->reset_file_state();
-  return err ? -1 : (long)p->ready.size();
+  return err ? -1 : (long)p->ready_count();
 }
 
 // end of all input: pad and emit the final partial batch(es)
@@ -327,11 +391,13 @@ long packer_flush(void* h) { return ((Packer*)h)->flush_pad(); }
 
 // pop one ready batch into out (batch_rows*chunk_len bytes); 1 on success
 int packer_pop(void* h, uint8_t* out) {
-  Packer* p = (Packer*)h;
-  if (p->ready.empty()) return 0;
-  memcpy(out, p->ready.front().data(), p->ready.front().size());
-  p->ready.pop_front();
-  return 1;
+  return ((Packer*)h)->pop_batch(out, false) ? 1 : 0;
+}
+
+// pop one ready batch nibble-packed to the H2D wire format
+// ((batch_rows/2)*chunk_len bytes, io/packing.pack_rows layout); 1 on success
+int packer_pop_packed(void* h, uint8_t* out) {
+  return ((Packer*)h)->pop_batch(out, true) ? 1 : 0;
 }
 
 void packer_stats(void* h, long long* records, long long* bases) {

@@ -67,11 +67,16 @@ def batches_from_files(
     lenient: bool = False,
     on_error: str = "exit",
     stats_out: Optional[dict] = None,
+    wire_packed: bool = False,
 ) -> Iterator[np.ndarray]:
-    """Dense [batch_rows, chunk_len] uint8 batches over all input records.
+    """Dense [batch_rows, chunk_len] uint8 batches over all input records —
+    or, with ``wire_packed``, [batch_rows/2, chunk_len] nibble-packed H2D
+    wire batches (io/packing.pack_rows layout; consumers pass packed=True to
+    sketch.update).
 
     Uses the native C++ decode+pack layer when available (~10x the Python
-    path); both produce byte-identical batch streams
+    path, and with wire_packed the nibble pack is fused into the batch
+    composition pass); both paths produce byte-identical batch streams
     (tests/test_native_packer.py)."""
     if records is None:
         from ntcard_tpu.native import get_lib, native_batches_from_files
@@ -79,14 +84,18 @@ def batches_from_files(
         if get_lib() is not None:
             yield from native_batches_from_files(
                 paths, chunk_len, batch_rows, kmax, lenient=lenient,
-                on_error=on_error, stats_out=stats_out,
+                on_error=on_error, stats_out=stats_out, wire_packed=wire_packed,
             )
             return
+    from ntcard_tpu.io.packing import pack_rows
+
     packer = StreamPacker(chunk_len, batch_rows, kmax)
     recs = records if records is not None else iter_file_records(paths, lenient, on_error)
     for rec in recs:
-        yield from packer.feed(rec)
-    yield from packer.finish()
+        for b in packer.feed(rec):
+            yield pack_rows(b) if wire_packed else b
+    for b in packer.finish():
+        yield pack_rows(b) if wire_packed else b
     if stats_out is not None:
         stats_out["records"] = packer.total_records
         stats_out["bases"] = packer.total_bases - packer.total_records  # minus separators
@@ -112,6 +121,7 @@ def parallel_batches_from_files(
     lenient: bool = False,
     on_error: str = "exit",
     stats_out: Optional[dict] = None,
+    wire_packed: bool = False,
 ) -> Iterator[np.ndarray]:
     """Decode+pack files on ``n_threads`` host threads, one packer per
     thread over a deterministic file partition (parallel/multihost.py LPT) —
@@ -129,6 +139,7 @@ def parallel_batches_from_files(
         yield from batches_from_files(
             paths, chunk_len, batch_rows, kmax,
             lenient=lenient, on_error=on_error, stats_out=stats_out,
+            wire_packed=wire_packed,
         )
         return
 
@@ -144,6 +155,7 @@ def parallel_batches_from_files(
             for b in batches_from_files(
                 my_paths, chunk_len, batch_rows, kmax,
                 lenient=lenient, on_error=on_error, stats_out=stats,
+                wire_packed=wire_packed,
             ):
                 q.put(b)
         except BaseException as e:

@@ -178,3 +178,36 @@ def test_lenient_mode_accepts_garbage(tmp_path):
     assert len(got) == len(want)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("src", ["reads.fq", "reads.fa", "reads.sam", "contig.fa"])
+def test_wire_packed_pop_matches_pack_rows(src):
+    """The C-fused nibble-packed pop must equal pack_rows() applied to the
+    unpacked batch stream — the wire format is defined by io/packing.py."""
+    from ntcard_tpu.io.packing import pack_rows
+
+    unpacked = native_batches([DATA / src])
+    packed = list(
+        native_batches_from_files([str(DATA / src)], CHUNK, ROWS, KMAX, wire_packed=True)
+    )
+    assert len(packed) == len(unpacked)
+    for p, u in zip(packed, unpacked):
+        assert p.shape == (ROWS // 2, CHUNK)
+        np.testing.assert_array_equal(p, pack_rows(u))
+
+
+def test_wire_packed_small_io_chunks(tmp_path):
+    """Packed pops with tiny feed chunks (line-boundary carries) must match
+    one-shot pops."""
+    src = DATA / "reads.fq"
+    one = list(
+        native_batches_from_files([str(src)], CHUNK, ROWS, KMAX, wire_packed=True)
+    )
+    tiny = list(
+        native_batches_from_files(
+            [str(src)], CHUNK, ROWS, KMAX, wire_packed=True, io_chunk=97
+        )
+    )
+    assert len(one) == len(tiny)
+    for a, b in zip(one, tiny):
+        np.testing.assert_array_equal(a, b)

@@ -84,14 +84,14 @@ def measure_ours(fq: Path) -> float:
     import ntcard_tpu  # noqa: F401
     from ntcard_tpu.io.packing import StreamPacker, aligned_stride
     from ntcard_tpu.models.estimate import comp_est_hist
-    from ntcard_tpu.models.sketch import CountTableSketch
+    from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.pipeline import batches_from_files, device_prefetch
 
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
 
     def run() -> float:
-        sketch = CountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
+        sketch = ChainedCountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
         t0 = time.perf_counter()
         for batch in device_prefetch(
             batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=True)

@@ -183,7 +183,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.estimate import comp_est_hist
-    from ntcard_tpu.models.sketch import CountTableSketch
+    from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
     from ntcard_tpu.pipeline import (
@@ -239,7 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if n_procs > 1:
         # per-host private sketch on the host's first local device; the
         # cross-host merge happens once at finalize (merged_finalize)
-        sketch = CountTableSketch(
+        sketch = ChainedCountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
     elif n_dev > 1:
@@ -248,7 +248,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         batch_rows = max(128, batch_rows // n_dev) * n_dev
     else:
-        sketch = CountTableSketch(
+        # two independent donation chains hide the tunneled runtime's
+        # per-chain dispatch serialization (models/sketch.py)
+        sketch = ChainedCountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
     metrics = Metrics(opt.metrics)
@@ -272,7 +274,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):
         if n_procs > 1:
-            state = merged_finalize(sketch, cov_max=opt.cov_max)
+            state = merged_finalize(sketch.merged(), cov_max=opt.cov_max)
         else:
             state = sketch.finalize(cov_max=opt.cov_max)
     metrics.stop_profile()

@@ -96,6 +96,39 @@ def _counter_hists(tables, r_buck):
     return out.astype(np.int32)
 
 
+class ChainedCountTableSketch:
+    """N independent CountTableSketch donation chains fed round-robin, merged
+    at finalize. On the tunneled TPU runtime, consecutive updates of ONE
+    donated table serialize their dispatch RPCs; two independent chains let
+    transfers/dispatches interleave (measured ~1.6x end-to-end). The fold
+    commutes, so the merged result is bit-identical to a single chain."""
+
+    def __init__(self, *args, n_chains: int = 2, **kwargs):
+        self._chains = [CountTableSketch(*args, **kwargs) for _ in range(n_chains)]
+        self._i = 0
+        s0 = self._chains[0]
+        self.ks, self.s_bits, self.r_bits = s0.ks, s0.s_bits, s0.r_bits
+        self.stride, self.gap_positions, self.r_buck = s0.stride, s0.gap_positions, s0.r_buck
+
+    def update(self, codes, packed: bool = False) -> None:
+        self._chains[self._i].update(codes, packed=packed)
+        self._i = (self._i + 1) % len(self._chains)
+
+    def merged(self) -> "CountTableSketch":
+        head = self._chains[0]
+        for other in self._chains[1:]:
+            head.merge_(other)
+        self._chains = [head]
+        self._i = 0
+        return head
+
+    def save(self, path: str) -> None:
+        self.merged().save(path)
+
+    def finalize(self, return_table: bool = False, cov_max: int = 65535):
+        return self.merged().finalize(return_table=return_table, cov_max=cov_max)
+
+
 class CountTableSketch:
     """Streaming ntcard sketch over one device.
 

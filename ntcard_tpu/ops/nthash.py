@@ -177,6 +177,99 @@ def window_hashes(
     return out
 
 
+def window_hashes_doubling(
+    codes: jnp.ndarray,
+    ks: Sequence[int],
+    stride: int,
+    mask_positions: Sequence[int] | None = None,
+    packed: bool = False,
+) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """window_hashes by *window doubling* instead of rotated prefix scans.
+
+    A length-(a+b) window hash composes from its halves with constant-amount
+    rotations only (the add-chain lift of the rolling update,
+    nthash.hpp:242-257):
+
+        Wf[a+b](i) = P^b( Wf[a](i) ) ^ Wf[b](i+a)
+        Wr[a+b](i) = Wr[a](i) ^ P^a( Wr[b](i+a) )
+
+    starting from Wf[1](i) = seed(b_i), Wr[1](i) = seed(comp b_i). Building
+    power-of-two widths by doubling and composing the set bits of each k
+    costs ~log2(k)+popcount(k) combines per strand, every one of them plain
+    shifts/XORs on full [L, B] tiles — no per-position rotation amounts, no
+    associative_scan, nothing that breaks XLA fusion. N validity is the same
+    doubling on a windowed OR. Values are bit-identical to window_hashes
+    (cross-checked in tests)."""
+    if mask_positions and len(ks) != 1:
+        raise ValueError("spaced seeds support a single k only (reference parity)")
+
+    cT = unpack_rows(codes) if packed else codes.T  # [L, B] uint8
+    S = stride
+
+    def shift_up(x, s):
+        return jnp.pad(x[s:], ((0, s), (0, 0)))
+
+    # width-1 windows: the seeds themselves
+    f1 = (u64.lut5(cT, _SEED_HI), u64.lut5(cT, _SEED_LO))
+    r1 = (u64.lut5(cT, _CSEED_HI), u64.lut5(cT, _CSEED_LO))
+    n1 = cT == N_CODE
+
+    def compose(fa, ra, na, la, fb, rb, nb, lb):
+        # forward: P^lb(Wf[a](i)) ^ Wf[b](i+la)
+        pf = R.srol_const(*fa, lb)
+        fb_s = (shift_up(fb[0], la), shift_up(fb[1], la))
+        f = (pf[0] ^ fb_s[0], pf[1] ^ fb_s[1])
+        # reverse: Wr[a](i) ^ P^la(Wr[b](i+la))
+        rb_s = R.srol_const(shift_up(rb[0], la), shift_up(rb[1], la), la)
+        r = (ra[0] ^ rb_s[0], ra[1] ^ rb_s[1])
+        return f, r, na | shift_up(nb, la)
+
+    kmax = max(ks)
+    pow2: dict = {1: (f1, r1, n1)}
+    w = 1
+    while 2 * w <= kmax:
+        f, r, nn = pow2[w]
+        pow2[2 * w] = compose(f, r, nn, w, f, r, nn, w)
+        w *= 2
+
+    out = {}
+    for k in ks:
+        acc = None
+        alen = 0
+        for bit in reversed(range(k.bit_length())):
+            p = 1 << bit
+            if not (k & p):
+                continue
+            piece = pow2[p]
+            if acc is None:
+                acc, alen = piece, p
+            else:
+                f, r, nn = compose(*acc, alen, *piece, p)
+                acc, alen = (f, r, nn), alen + p
+        (fh_hi, fh_lo), (rh_hi, rh_lo), has_n = acc
+        fh_hi, fh_lo = fh_hi[:S], fh_lo[:S]
+        rh_hi, rh_lo = rh_hi[:S], rh_lo[:S]
+        valid = ~has_n[:S]
+
+        if mask_positions:
+            for p in mask_positions:
+                cp = cT[p : p + S]
+                ft = np.array(
+                    [C.split_u64(C.rot_seed(b, k - 1 - p)) for b in range(5)], np.uint32
+                )
+                rt = np.array(
+                    [C.split_u64(C.rot_seed(C.COMP_CODE[b], p)) for b in range(5)], np.uint32
+                )
+                fh_hi = fh_hi ^ u64.lut5(cp, ft[:, 0])
+                fh_lo = fh_lo ^ u64.lut5(cp, ft[:, 1])
+                rh_hi = rh_hi ^ u64.lut5(cp, rt[:, 0])
+                rh_lo = rh_lo ^ u64.lut5(cp, rt[:, 1])
+
+        ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
+        out[k] = (ch, cl, valid)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Public kernels (API shared with ops/nthash_scan.py)
 # ---------------------------------------------------------------------------
@@ -222,6 +315,18 @@ def make_sketch_emit(s_bits: int, r_bits: int):
     return emit
 
 
+def _hash_backend():
+    """Kernel backend selection: NTCARD_KERNEL=prefix selects the rotated-
+    prefix-scan formulation (window_hashes); default is window doubling
+    (fewer ops, no scans — measured faster on the target TPU). Both are
+    bit-identical (tests/test_kernel_vs_oracle.py)."""
+    import os
+
+    if os.environ.get("NTCARD_KERNEL", "doubling") == "prefix":
+        return window_hashes
+    return window_hashes_doubling
+
+
 def sketch_scan(
     codes: jnp.ndarray,
     ks: Sequence[int],
@@ -235,7 +340,7 @@ def sketch_scan(
     count-table indices (sentinel 2^(r_bits+1) where no update) plus the exact
     valid-window count (F1 contribution)."""
     emit = make_sketch_emit(s_bits, r_bits)
-    hashes = window_hashes(codes, tuple(ks), stride, mask_positions, packed=packed)
+    hashes = _hash_backend()(codes, tuple(ks), stride, mask_positions, packed=packed)
     idx = {}
     f1 = {}
     for k in ks:
@@ -295,6 +400,6 @@ def make_hll_emit(n_bits: int):
 def hll_scan(codes: jnp.ndarray, k: int, stride: int, n_bits: int, packed: bool = False):
     """Fused hash+HLL kernel for nthll: flat [S*B] (register index, run0)."""
     emit = make_hll_emit(n_bits)
-    ch, cl, valid = window_hashes(codes, (k,), stride, packed=packed)[k]
+    ch, cl, valid = _hash_backend()(codes, (k,), stride, packed=packed)[k]
     reg, run0 = emit(ch, cl, valid)
     return reg.reshape(-1), run0.reshape(-1)

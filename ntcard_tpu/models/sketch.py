@@ -18,6 +18,7 @@ so 1-shard and N-shard runs are bit-identical by construction.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Sequence
 
@@ -47,13 +48,46 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, pack
     """One batch step: tables [nK, 2*rbuck+1] int32; f1s [nK, 2] uint32
     (hi, lo) exact 64-bit F1 accumulators.
 
-    The +1 table row is the sentinel dump for unsampled/invalid windows."""
+    The +1 table row is the sentinel dump for unsampled/invalid windows.
+
+    NTCARD_KERNEL=pallas routes this step through the VMEM-fused Pallas
+    kernel (ops/nthash_pallas.py); its extra invalid-window sentinel
+    (2*r_buck+1) falls outside the table and is dropped by the scatter, and
+    F1 is recovered as the count of non-invalid positions — bit-identical
+    tables and F1 by construction (tests/test_pallas_kernel.py). Spaced
+    seeds fall back to the XLA kernel (single-seed NTMS64 lives there)."""
+    if os.environ.get("NTCARD_KERNEL") == "pallas" and not mask_positions:
+        return _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed)
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
     new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
         new_tables.append(tables[i].at[idx[k]].add(1, mode="drop"))
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
+        new_f1s.append(jnp.stack([hi, lo]))
+    return jnp.stack(new_tables), jnp.stack(new_f1s)
+
+
+def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
+    """Pallas-backed batch step (called inside _update's jit trace). The
+    kernel wants [B, L] row-major codes; nibble wire batches are unpacked
+    on device first (cheap fused elementwise pass)."""
+    from ntcard_tpu.ops.nthash_pallas import sketch_idx_pallas
+
+    if packed:
+        codes = jnp.concatenate([codes >> 4, codes & 0x0F], axis=0)
+    interpret = jax.devices()[0].platform != "tpu"
+    idx = sketch_idx_pallas(
+        codes, ks, stride, s_bits, r_bits, interpret=interpret
+    )  # [nK, B, L] int32; sent1 = 2*r_buck+1 marks invalid windows
+    sent1 = np.int32(2 * (1 << r_bits) + 1)
+    new_tables = []
+    new_f1s = []
+    for i, _k in enumerate(ks):
+        flat = idx[i].reshape(-1)
+        new_tables.append(tables[i].at[flat].add(1, mode="drop"))
+        f1 = (flat != sent1).sum(dtype=jnp.uint32)
+        hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 

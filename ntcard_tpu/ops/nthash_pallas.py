@@ -15,10 +15,10 @@ float-exponent power-of-two synthesis as the XLA path (ops/rotations.py).
 Emit protocol (differs from ops/nthash.sketch_scan): each window start
 position p in [0, stride) yields a count-table index in [0, 2^(r_bits+1)),
 or sentinel S0 = 2^(r_bits+1) when the window is valid but unsampled, or
-S1 = S0+1 when invalid/out of stride. The table therefore has 2*r_buck+2
-rows, and F1 = sum(table[:S0]) + table[S0] is recovered exactly from the
-table itself — no separate F1 reduction needed. models/sketch.py handles
-both protocols.
+S1 = S0+1 when invalid/out of stride. models/sketch.py consumes this under
+NTCARD_KERNEL=pallas: S0 lands in its existing sentinel row, S1 falls
+outside the (2*r_buck+1)-row table and is dropped by the scatter, and
+F1 = count of non-S1 positions — bit-identical to the XLA path.
 
 Reference parity surface: identical to ops/nthash.py (NTC64 canonical
 values, ntcard.cpp:132-145 sampling, nthll.cpp:92-97 HLL updates).

@@ -80,7 +80,7 @@ def measure_reference(fq: Path) -> float:
     return rps
 
 
-def measure_ours(fq: Path) -> float:
+def measure_ours(fq: Path) -> tuple[float, dict]:
     import ntcard_tpu  # noqa: F401
     from ntcard_tpu.io.packing import StreamPacker, aligned_stride
     from ntcard_tpu.models.estimate import comp_est_hist
@@ -90,26 +90,37 @@ def measure_ours(fq: Path) -> float:
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
 
-    def run() -> float:
+    def run() -> tuple[float, dict]:
         sketch = ChainedCountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
+        stages: dict = {}
         t0 = time.perf_counter()
+        t_disp = 0.0
         for batch in device_prefetch(
-            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=True)
+            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=True),
+            stage_times=stages,
         ):
+            td = time.perf_counter()
             sketch.update(batch, packed=True)
+            t_disp += time.perf_counter() - td
+        tf = time.perf_counter()
         state = sketch.finalize(cov_max=64)
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
-        return time.perf_counter() - t0
+        t1 = time.perf_counter()
+        stages["dispatch_wait"] = t_disp
+        stages["finalize"] = t1 - tf
+        stages["total"] = t1 - t0
+        return t1 - t0, stages
 
     run()  # warmup: jit compiles, file cache
-    best = min(run() for _ in range(3))
-    return N_READS / best
+    best, phases = min((run() for _ in range(3)), key=lambda r: r[0])
+    phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
+    return N_READS / best, phases
 
 
 def main() -> int:
     fq = ensure_data()
     ref_rps = measure_reference(fq)
-    ours_rps = measure_ours(fq)
+    ours_rps, phases = measure_ours(fq)
     vs = (ours_rps / ref_rps) if ref_rps > 0 else 0.0
     print(
         json.dumps(
@@ -118,6 +129,11 @@ def main() -> int:
                 "value": round(ours_rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(vs, 3),
+                # per-phase seconds of the best timed pass (feeder-thread
+                # decode/pack/h2d; main-thread dispatch_wait/finalize) so a
+                # regression in any one stage is attributable from the
+                # recorded bench line alone
+                "phases": phases,
             }
         )
     )

@@ -92,18 +92,32 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 
 
-@partial(jax.jit, static_argnames=("r_buck",))
+@partial(jax.jit, donate_argnums=(0, 1))
+def _merge_add(a, b):
+    return a + b
+
+
+@jax.jit
+def _hist_row_device(row):
+    """int32[r_buck] -> int32[65536] histogram of the mod-2^16-wrapped
+    counter values (compEst's p[sample][v], ntcard.cpp:240-247)."""
+    return jnp.zeros((65536,), jnp.int32).at[row & 0xFFFF].add(1)
+
+
 def _counter_hists_device(tables, r_buck):
-    """[nK, 2*r_buck+1] int32 -> [nK, 2, 65536] int32 histograms of the
-    mod-2^16-wrapped counter values (compEst's p[sample][v], ntcard.cpp:
-    240-247) — computed on device so only ~0.5 MB/k crosses to the host
-    instead of the (up to 1 GB/k) table itself."""
-    t = (tables[:, : 2 * r_buck] & 0xFFFF).reshape(tables.shape[0], 2, r_buck)
-
-    def hist1(row):
-        return jnp.zeros((65536,), jnp.int32).at[row].add(1)
-
-    return jax.vmap(jax.vmap(hist1))(t)
+    """[nK, 2*r_buck+1] int32 -> [nK, 2, 65536] int32 — computed on device
+    so only ~0.5 MB/k crosses to the host instead of the (up to 1 GB/k)
+    table itself. One dispatch per (k, sample) row keeps the peak HBM temp
+    at one 4*r_buck-byte slice instead of a full-table copy (at the default
+    rBits=27 and 3 k values the all-at-once variant added 3.2 GiB on top of
+    the live tables and exhausted a 16 GB part)."""
+    nk = tables.shape[0]
+    rows = [
+        _hist_row_device(tables[i, s * r_buck : (s + 1) * r_buck])
+        for i in range(nk)
+        for s in range(2)
+    ]
+    return jnp.stack(rows).reshape(nk, 2, 65536)
 
 
 def _counter_hists(tables, r_buck):
@@ -138,7 +152,16 @@ class ChainedCountTableSketch:
     commutes, so the merged result is bit-identical to a single chain."""
 
     def __init__(self, *args, n_chains: int = 2, **kwargs):
-        self._chains = [CountTableSketch(*args, **kwargs) for _ in range(n_chains)]
+        probe = CountTableSketch(*args, **kwargs)
+        # chains multiply resident table HBM; cap them so total table bytes
+        # stay within budget (default-r27 multi-k tables are GiB-scale and
+        # two chains plus finalize temps exhausted a 16 GB part)
+        budget = int(os.environ.get("NTCARD_CHAIN_TABLE_BYTES", 4 << 30))
+        table_bytes = probe.tables.size * 4
+        n_chains = max(1, min(n_chains, budget // max(table_bytes, 1)))
+        self._chains = [probe] + [
+            CountTableSketch(*args, **kwargs) for _ in range(n_chains - 1)
+        ]
         self._i = 0
         s0 = self._chains[0]
         self.ks, self.s_bits, self.r_bits = s0.ks, s0.s_bits, s0.r_bits
@@ -258,7 +281,10 @@ class CountTableSketch:
             raise ValueError(
                 f"sketch configs differ; cannot merge ({mine} vs {theirs})"
             )
-        self.tables = self.tables + other.tables
+        # donate both operands: at default rBits the tables are GiB-scale,
+        # and a non-donating add would hold three copies live mid-merge
+        self.tables = _merge_add(self.tables, other.tables)
+        other.tables = None
         self._f1_loaded = [a + b for a, b in zip(self._f1_loaded, other._f1_totals())]
 
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:

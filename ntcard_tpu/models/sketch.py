@@ -104,31 +104,54 @@ def _hist_row_device(row):
     return jnp.zeros((65536,), jnp.int32).at[row & 0xFFFF].add(1)
 
 
-def _counter_hists_device(tables, r_buck):
-    """[nK, 2*r_buck+1] int32 -> [nK, 2, 65536] int32 — computed on device
-    so only ~0.5 MB/k crosses to the host instead of the (up to 1 GB/k)
-    table itself. One dispatch per (k, sample) row keeps the peak HBM temp
-    at one 4*r_buck-byte slice instead of a full-table copy (at the default
+@partial(jax.jit, static_argnames=("nbins",))
+def _hist_row_device_small(row, nbins):
+    """int32[r_buck] -> int32[nbins] counter-value histogram via per-bin
+    compare-reduce — no scatter. The estimator only ever reads bins
+    0..cov_max (66 at the default -c64), and a 65536-bin scatter over a
+    2^27-element row costs seconds per row on TPU while nbins fused
+    equality-reduces over the same row are pure vector work (measured:
+    finalize of a default-r27 -k64,96,128 run dropped from ~40 s to ~2 s).
+    Values >= nbins are simply not counted (they'd land past the slice the
+    estimator reads); bins 0..nbins-1 are exact."""
+    v = row & 0xFFFF
+    return jnp.stack([(v == np.int32(b)).sum(dtype=jnp.int32) for b in range(nbins)])
+
+
+def _counter_hists_device(tables, r_buck, nbins):
+    """[nK, 2*r_buck+1] int32 -> [nK, 2, nbins] int32 — computed on device
+    so only KBs cross to the host instead of the (up to 1 GB/k) table
+    itself. One dispatch per (k, sample) row keeps the peak HBM temp at one
+    4*r_buck-byte slice instead of a full-table copy (at the default
     rBits=27 and 3 k values the all-at-once variant added 3.2 GiB on top of
-    the live tables and exhausted a 16 GB part)."""
+    the live tables and exhausted a 16 GB part). Small bin counts use the
+    scatter-free compare-reduce kernel; a (rare) large cov_max falls back
+    to the full 65536-bin scatter."""
     nk = tables.shape[0]
+    fn = (
+        partial(_hist_row_device_small, nbins=nbins)
+        if nbins <= 1024
+        else _hist_row_device
+    )
     rows = [
-        _hist_row_device(tables[i, s * r_buck : (s + 1) * r_buck])
+        fn(tables[i, s * r_buck : (s + 1) * r_buck])
         for i in range(nk)
         for s in range(2)
     ]
-    return jnp.stack(rows).reshape(nk, 2, 65536)
+    return jnp.stack(rows)[:, :nbins].reshape(nk, 2, nbins)
 
 
-def _counter_hists(tables, r_buck):
-    """Counter-value histograms, routed by where the table lives: XLA's CPU
-    scatter is serial and pathologically slow at rBits=27 (tens of seconds
-    for 2^28 elements), so host tables go through np.bincount (~0.5 s/GiB);
-    on accelerators the device scatter wins because the table never crosses
-    the (slow) device->host link."""
+def _counter_hists(tables, r_buck, nbins: int = 65536):
+    """Counter-value histograms over bins 0..nbins-1 ([nK, 2, nbins] int32),
+    routed by where the table lives: XLA's CPU scatter is serial and
+    pathologically slow at rBits=27 (tens of seconds for 2^28 elements), so
+    host tables go through the native threaded histogram / np.bincount
+    (~0.5 s/GiB); on accelerators the table never crosses the (slow)
+    device->host link — small nbins (the estimator reads cov_max+1 bins)
+    use a scatter-free compare-reduce."""
     dev = next(iter(tables.devices())) if hasattr(tables, "devices") else None
     if dev is not None and dev.platform != "cpu":
-        return _counter_hists_device(tables, r_buck)
+        return _counter_hists_device(tables, r_buck, nbins)
     from ntcard_tpu import native
 
     arr = np.asarray(tables)  # zero-copy view of a host-resident jax array
@@ -141,7 +164,7 @@ def _counter_hists(tables, r_buck):
             if h is None:
                 h = np.bincount(row.astype(np.uint16), minlength=65536)
             out[i, s] = h
-    return out.astype(np.int32)
+    return out[:, :, :nbins].astype(np.int32)
 
 
 class ChainedCountTableSketch:
@@ -297,7 +320,7 @@ class CountTableSketch:
         test/debug use)."""
         f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
-        hists = np.asarray(_counter_hists(self.tables, self.r_buck)[:, :, :nbins])
+        hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}

@@ -150,7 +150,7 @@ class ShardedCountTableSketch:
         f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
         merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
-        hists = np.asarray(_counter_hists(merged, self.r_buck)[:, :, :nbins])
+        hists = np.asarray(_counter_hists(merged, self.r_buck, nbins))
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}

@@ -107,7 +107,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
     f1_all = multihost_utils.process_allgather(f1_local).sum(axis=0)
 
     nbins = min(cov_max + 1, 65536)
-    hists = np.asarray(_counter_hists(merged, sketch.r_buck)[:, :, :nbins])
+    hists = np.asarray(_counter_hists(merged, sketch.r_buck, nbins))
     out = {}
     for i, k in enumerate(sketch.ks):
         out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1_all[i])}

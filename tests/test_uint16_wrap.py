@@ -47,3 +47,21 @@ def test_wraparound_matches_mod_65536():
     assert state[12]["f1"] == n_occurrences
     # the counter-value histogram sees the wrapped value
     assert state[12]["hist"][sample][n_occurrences % 65536] >= 1
+
+
+def test_small_bin_hist_matches_scatter():
+    """The scatter-free compare-reduce finalize histogram (used on device
+    for small cov_max) must equal the full 65536-bin scatter on the bins it
+    reports, including mod-2^16 wrap of large counts."""
+    import numpy as np
+
+    from ntcard_tpu.models.sketch import _counter_hists_device
+
+    rng = np.random.default_rng(3)
+    r_buck = 1 << 10
+    # values spanning wrap boundaries and both samples; sentinel col appended
+    t = rng.integers(0, 1 << 18, size=(2, 2 * r_buck + 1), dtype=np.int32)
+    full = np.asarray(_counter_hists_device(t, r_buck, 65536))
+    for nbins in (1, 66, 1001, 1025):  # 1025 exercises the scatter fallback
+        small = np.asarray(_counter_hists_device(t, r_buck, nbins))
+        np.testing.assert_array_equal(small, full[:, :, :nbins])

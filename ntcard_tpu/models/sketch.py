@@ -92,8 +92,10 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     return jnp.stack(new_tables), jnp.stack(new_f1s)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+@partial(jax.jit, donate_argnums=(0,))
 def _merge_add(a, b):
+    # donate only `a` (the output aliases it); donating `b` too is unusable
+    # and makes every run print a donation warning
     return a + b
 
 

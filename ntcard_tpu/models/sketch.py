@@ -39,6 +39,65 @@ def _u64_acc_add(hi, lo, add_u32):
     return hi + carry, new_lo
 
 
+def _sparse_mode() -> str:
+    """Sparse-update path selection, checked at trace time:
+    "on" on real TPUs (NTCARD_SCATTER unset/auto), "off" when disabled
+    (NTCARD_SCATTER=xla) or off-TPU, "interpret" to force the Pallas
+    kernels through the interpreter on any backend (tests)."""
+    env = os.environ.get("NTCARD_SCATTER", "auto")
+    if env == "xla":
+        return "off"
+    if env == "pallas-interpret":
+        return "interpret"
+    return "on" if jax.devices()[0].platform == "tpu" else "off"
+
+
+def _table_add(table, idx, r_bits):
+    """table[2*r_buck+1] += histogram(idx), where idx is the emit stream
+    (sentinel 2*r_buck marks "no update", landing in the ignored dump row).
+
+    On TPU the XLA scatter costs ~9-13 ns per update *element* — sentinels
+    included — i.e. ~79 ms per 7.9M-window batch of which ~99% is sentinel
+    traffic at the default sampling rates (docs/TPU_BACKEND_NOTES.md). The
+    Pallas kernels in ops/scatter_pallas.py instead pay per *sampled*
+    element (~28 ms -> the whole batch update, measured). A density guard
+    keeps the pathological all-sampled case (e.g. a single repeated k-mer
+    whose hash passes the sample test) on the scatter path, so the result
+    is bit-identical to the scatter for every input."""
+    mode = _sparse_mode()
+    if mode == "off":
+        return table.at[idx].add(1, mode="drop")
+    interp = mode == "interpret"
+
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas, hist_add_pallas
+
+    r_buck = 1 << r_bits
+    sent = 2 * r_buck
+
+    if r_bits <= 17:
+        # table fits VMEM: in-kernel histogram, guarded by sampled density
+        thresh = max(idx.size // 16, 1)  # ~5x the expected sBits=7 density
+        n = jnp.sum((idx != np.int32(sent)).astype(jnp.int32))
+        return jax.lax.cond(
+            n <= thresh,
+            lambda t: t + hist_add_pallas(idx, r_bits, interpret=interp),
+            lambda t: t.at[idx].add(1, mode="drop"),
+            table,
+        )
+
+    # huge table (default rBits=27): compact the sampled indices, then
+    # scatter only those; overflow of the compaction buffer falls back
+    cap = min(max(2 * (idx.size // 16), 128), idx.size)
+    cap = (cap + 127) // 128 * 128
+    vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
+    return jax.lax.cond(
+        cnt <= np.int32(cap),
+        lambda t: t.at[vals].add(1, mode="drop"),  # empty slots are -1: dropped
+        lambda t: t.at[idx].add(1, mode="drop"),
+        table,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
@@ -62,7 +121,7 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, pack
     new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
-        new_tables.append(tables[i].at[idx[k]].add(1, mode="drop"))
+        new_tables.append(_table_add(tables[i], idx[k], r_bits))
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
         new_f1s.append(jnp.stack([hi, lo]))
     return jnp.stack(new_tables), jnp.stack(new_f1s)
@@ -80,12 +139,17 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     idx = sketch_idx_pallas(
         codes, ks, stride, s_bits, r_bits, interpret=interpret
     )  # [nK, B, L] int32; sent1 = 2*r_buck+1 marks invalid windows
+    sent0 = np.int32(2 * (1 << r_bits))
     sent1 = np.int32(2 * (1 << r_bits) + 1)
     new_tables = []
     new_f1s = []
     for i, _k in enumerate(ks):
         flat = idx[i].reshape(-1)
-        new_tables.append(tables[i].at[flat].add(1, mode="drop"))
+        # fold the invalid-window sentinel (sent1, outside the table) into
+        # the unsampled dump row so the sparse path masks both; the dump row
+        # is never read, and the plain scatter's only difference is which
+        # ignored bucket the sentinels land in
+        new_tables.append(_table_add(tables[i], jnp.minimum(flat, sent0), r_bits))
         f1 = (flat != sent1).sum(dtype=jnp.uint32)
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))

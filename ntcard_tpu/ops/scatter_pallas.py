@@ -1,0 +1,263 @@
+"""Pallas TPU kernels that exploit emit sparsity for the count-table update.
+
+Why this exists: the XLA scatter-add `table.at[idx].add(1, mode="drop")` on
+this TPU costs ~9-13 ns *per update element* regardless of how many updates
+are sentinels (measured: 7.9M updates -> 79 ms at rBits=16, and dropped
+out-of-bounds updates cost the same as landing ones). But ntCard's sampling
+(ntcard.cpp:135-139) keeps only ~2^-(sBits+1) + 2^-sBits of windows — at the
+<50 GB default sBits=7 that is 1.17%, so ~99% of the scatter is sentinel
+traffic. The reference's CPU loop never pays for unsampled k-mers (the
+sample test branches before the table touch); these kernels restore that
+algorithmic sparsity on the TPU.
+
+Design (shaped by measured Mosaic/v5e-lite constraints):
+  * no scalar stores to VMEM, and single-element loads need a lane index
+    that is statically 128-aligned -> never address single elements;
+  * instead, per [8, 1024] window: enc = (flat_pos << 18) | idx for sampled
+    positions, then extract elements in increasing enc order with one
+    full-window min-reduction each ("iterated extraction") — ~2 vector ops
+    plus one vector->scalar move per *sampled* element;
+  * two windows are processed with interleaved carries so the two
+    independent min->scalar moves overlap (measured ~1.6x over one stream);
+  * the table row update is a dynamic-sublane vector read-modify-write
+    `table[b // 128, :] += onehot(b % 128)` (dynamic sublane indices are
+    legal where dynamic lane indices are not).
+
+The packed encoding needs idx < 2^18 and window positions < 2^13, so the
+in-VMEM histogram applies to r_bits <= 17 (the table, 2^(r_bits+1) ints,
+also fits VMEM there). Larger tables (the rBits=27 default) use
+``compact_pallas``: the same extraction loop, but writing the surviving
+indices into a small dense buffer that the normal XLA scatter then applies
+— the scatter pays for ~1% of the batch instead of 100%.
+
+Worst-case safety: extraction time scales with the *sampled* count, which
+an adversarial input can push to 100%. Callers guard with a density check
+and fall back to the plain XLA scatter (models/sketch.py), so results are
+always bit-identical to the reference semantics and the pathological case
+is merely as slow as before.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = np.int32(0x7FFFFFFF)
+_LANES = 1024
+_BLOCK_ROWS = 256  # rows of 1024 per grid step: 1 MB VMEM, 16 windows
+
+
+def _pad_rows(flat: jnp.ndarray, sent: np.int32, block_rows: int) -> jnp.ndarray:
+    """[N] int32 -> [R, 1024] with R a multiple of ``block_rows``, padded
+    with the sentinel (padding is masked out by construction)."""
+    block = block_rows * _LANES
+    n = flat.shape[0]
+    pad = (-n) % block
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), sent, jnp.int32)])
+    return flat.reshape(-1, _LANES)
+
+
+def _window_iotas():
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    ln = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    return sub * np.int32(_LANES) + ln
+
+
+def _extract_pair(idx_ref, w, fpos, sent, update):
+    """Interleaved iterated extraction over windows 2w and 2w+1.
+
+    ``update(e)`` consumes one packed (pos << 18) | value per sampled
+    element; the two streams' min-reductions are independent so their
+    vector->scalar moves pipeline."""
+    rowA = idx_ref[pl.ds(w * 16, 8), :]
+    rowB = idx_ref[pl.ds(w * 16 + 8, 8), :]
+    mA = rowA != sent
+    mB = rowB != sent
+    encA = jnp.where(mA, (fpos << np.int32(18)) | rowA, _BIG)
+    encB = jnp.where(mB, (fpos << np.int32(18)) | rowB, _BIG)
+    n = jnp.maximum(jnp.sum(mA.astype(jnp.int32)), jnp.sum(mB.astype(jnp.int32)))
+
+    def body(_, prevs):
+        pA, pB = prevs
+        eA = jnp.min(jnp.where(encA > pA, encA, _BIG))
+        eB = jnp.min(jnp.where(encB > pB, encB, _BIG))
+        update(eA)
+        update(eB)
+        return (eA, eB)
+
+    jax.lax.fori_loop(0, n, body, (np.int32(-1), np.int32(-1)))
+
+
+def _hist_kernel(idx_ref, out_ref, *, sent, trows, block_rows):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros((trows, 128), jnp.int32)
+
+    fpos = _window_iotas()
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def update(e):
+        @pl.when(e != _BIG)
+        def _():
+            b = e & np.int32(0x3FFFF)
+            tr = b >> np.int32(7)
+            cur = out_ref[pl.ds(tr, 1), :]
+            out_ref[pl.ds(tr, 1), :] = cur + (
+                lane128 == (b & np.int32(127))
+            ).astype(jnp.int32)
+
+    def w_body(w, _):
+        _extract_pair(idx_ref, w, fpos, sent, update)
+        return 0
+
+    jax.lax.fori_loop(0, block_rows // 16, w_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r_bits", "interpret", "block_rows"))
+def hist_add_pallas(
+    idx: jnp.ndarray, r_bits: int, interpret: bool = False, block_rows: int = _BLOCK_ROWS
+) -> jnp.ndarray:
+    """Sparse histogram of emit indices (any shape, int32 in [0, 2^(r_bits+1)],
+    sentinel 2*r_buck means "no update") -> int32[2*r_buck + 1] counts, bit-
+    identical to `zeros(2*r_buck+1).at[idx].add(1, mode="drop")` except that
+    the sentinel bin stays 0 (callers never read it). Requires r_bits <= 17
+    (packed-encoding and VMEM-residency limits). ``block_rows`` (multiple of
+    16) is a tuning/test knob for the per-grid-step VMEM tile."""
+    if not (1 <= r_bits <= 17):
+        raise ValueError(f"hist_add_pallas requires r_bits in [1, 17], got {r_bits}")
+    if block_rows % 16:
+        raise ValueError(f"block_rows ({block_rows}) must be a multiple of 16")
+    r_buck = 1 << r_bits
+    sent = np.int32(2 * r_buck)
+    tsize = 2 * r_buck + 1
+    trows = ((tsize + 127) // 128 + 7) // 8 * 8
+    rows = _pad_rows(idx.reshape(-1), sent, block_rows)
+    grid = rows.shape[0] // block_rows
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, sent=sent, trows=trows, block_rows=block_rows),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((trows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((trows, 128), jnp.int32),
+        interpret=interpret,
+    )(rows)
+    return out.reshape(-1)[:tsize]
+
+
+def _extract_pair_full(idx_ref, w, fpos, sent, update):
+    """Like _extract_pair but for arbitrary int32 payloads (no 18-bit bound):
+    the extraction order rides on positions alone and the value is fetched
+    with a second masked reduction. ``update(pos, val)`` is called once per
+    non-sentinel element; pos == _BIG means an exhausted stream."""
+    rowA = idx_ref[pl.ds(w * 16, 8), :]
+    rowB = idx_ref[pl.ds(w * 16 + 8, 8), :]
+    encA = jnp.where(rowA != sent, fpos, _BIG)
+    encB = jnp.where(rowB != sent, fpos, _BIG)
+    n = jnp.maximum(
+        jnp.sum((rowA != sent).astype(jnp.int32)),
+        jnp.sum((rowB != sent).astype(jnp.int32)),
+    )
+
+    def body(_, prevs):
+        pA, pB = prevs
+        eA = jnp.min(jnp.where(encA > pA, encA, _BIG))
+        eB = jnp.min(jnp.where(encB > pB, encB, _BIG))
+        vA = jnp.sum(jnp.where(fpos == eA, rowA, np.int32(0)))
+        vB = jnp.sum(jnp.where(fpos == eB, rowB, np.int32(0)))
+        update(eA, vA)
+        update(eB, vB)
+        return (eA, eB)
+
+    jax.lax.fori_loop(0, n, body, (np.int32(-1), np.int32(-1)))
+
+
+def _compact_kernel(idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.full((cap_rows, 128), np.int32(-1))
+        cnt_ref[0] = np.int32(0)
+
+    fpos = _window_iotas()
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def update(pos, val):
+        @pl.when(pos != _BIG)
+        def _():
+            c = cnt_ref[0]
+            rs = jnp.minimum(c >> np.int32(7), np.int32(cap_rows - 1))
+            onehot = (lane128 == (c & np.int32(127))).astype(jnp.int32)
+            cur = out_ref[pl.ds(rs, 1), :]
+            # slots start at -1; adding (val + 1) turns exactly one slot into
+            # val. Untouched slots stay -1 (dropped by the downstream OOB
+            # scatter); a clamped overflow row accumulates garbage that
+            # callers discard after testing cnt > cap.
+            out_ref[pl.ds(rs, 1), :] = cur + onehot * (val + np.int32(1))
+            cnt_ref[0] = c + np.int32(1)
+
+    def w_body(w, _):
+        _extract_pair_full(idx_ref, w, fpos, sent, update)
+        return 0
+
+    jax.lax.fori_loop(0, block_rows // 16, w_body, 0)
+
+    # scalar stores to VMEM are illegal; emit the running count as a one-hot
+    # row add on the final grid step
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        cnt_out_ref[:] = (
+            (lane128 == np.int32(0)).astype(jnp.int32) * cnt_ref[0]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("sent", "cap", "interpret", "block_rows"))
+def compact_pallas(
+    idx: jnp.ndarray,
+    sent: int,
+    cap: int,
+    interpret: bool = False,
+    block_rows: int = _BLOCK_ROWS,
+):
+    """Compact the non-sentinel elements of ``idx`` (any shape, int32 >= 0,
+    ``sent`` marks "no update") into a dense int32[cap] buffer (unused tail
+    slots -1) plus the true non-sentinel count.
+
+    A downstream `table.at[vals].add(1, mode="drop")` then costs ~cap
+    updates instead of idx.size — this is how tables too large for VMEM
+    (the rBits=27 default) exploit emit sparsity. If count > cap the buffer
+    is invalid; callers must test and fall back to the full scatter
+    (models/sketch.py wraps this in a lax.cond)."""
+    if cap % 128:
+        raise ValueError(f"cap ({cap}) must be a multiple of 128")
+    if block_rows % 16:
+        raise ValueError(f"block_rows ({block_rows}) must be a multiple of 16")
+    cap_rows = (cap // 128 + 7) // 8 * 8
+    rows = _pad_rows(idx.reshape(-1), np.int32(sent), block_rows)
+    grid = rows.shape[0] // block_rows
+    vals, cnt = pl.pallas_call(
+        functools.partial(
+            _compact_kernel, sent=np.int32(sent), cap_rows=cap_rows, block_rows=block_rows
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((cap_rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(rows)
+    return vals.reshape(-1)[:cap], cnt[0, 0]

@@ -1,0 +1,103 @@
+"""Correctness of the sparse count-table update (ops/scatter_pallas.py).
+
+The Pallas kernels run through the interpreter here (no TPU in CI); the
+contract under test is bit-identity with the plain XLA scatter-add for
+every input, including the density-guard fallback paths.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntcard_tpu.models import sketch as sketch_mod
+from ntcard_tpu.ops.scatter_pallas import compact_pallas, hist_add_pallas
+
+
+@pytest.mark.parametrize("shape", [(16, 1024), (8, 640), (40, 96)])
+def test_hist_add_matches_bincount(shape):
+    rng = np.random.default_rng(1)
+    r_bits = 10
+    r_buck = 1 << r_bits
+    sent = 2 * r_buck
+    n = int(np.prod(shape))
+    idx = np.full(n, sent, np.int32)
+    m = rng.random(n) < 0.01
+    idx[m] = rng.integers(0, 2 * r_buck, m.sum())
+    idx = idx.reshape(shape)
+    got = np.asarray(
+        hist_add_pallas(jnp.asarray(idx), r_bits, interpret=True, block_rows=16)
+    )
+    want = np.bincount(idx.ravel()[idx.ravel() != sent], minlength=2 * r_buck + 1)
+    # the sentinel dump bin is not maintained by the sparse kernel (never read)
+    np.testing.assert_array_equal(got[: 2 * r_buck], want[: 2 * r_buck])
+
+
+@pytest.mark.parametrize("shape", [(16, 1024), (8, 640), (40, 96)])
+def test_compact_matches_nonsentinel_multiset(shape):
+    rng = np.random.default_rng(2)
+    sent = 1 << 28  # values beyond the 18-bit hist packing: compact is universal
+    n = int(np.prod(shape))
+    idx = np.full(n, sent, np.int32)
+    m = rng.random(n) < 0.01
+    idx[m] = rng.integers(0, sent, m.sum())
+    idx = idx.reshape(shape)
+    vals, cnt = compact_pallas(jnp.asarray(idx), sent, 256, interpret=True, block_rows=16)
+    vals = np.asarray(vals)
+    assert int(cnt) == m.sum()
+    np.testing.assert_array_equal(
+        np.sort(vals[vals >= 0]), np.sort(idx.ravel()[idx.ravel() != sent])
+    )
+
+
+def test_compact_overflow_reports_true_count():
+    rng = np.random.default_rng(3)
+    sent = 1 << 20
+    idx = rng.integers(0, sent, (16, 64)).astype(np.int32)  # 1024 > cap
+    vals, cnt = compact_pallas(jnp.asarray(idx), sent, 256, interpret=True, block_rows=16)
+    assert int(cnt) == 1024
+
+
+def _run_updates(codes_batches, ks, s_bits, r_bits, stride):
+    sk = sketch_mod.CountTableSketch(ks, s_bits, r_bits, stride)
+    for c in codes_batches:
+        sk.update(c)
+    tables = np.asarray(sk.tables)
+    f1s = [int(x) for x in sk._f1_totals()]
+    return tables, f1s
+
+
+@pytest.mark.parametrize(
+    "s_bits,r_bits",
+    [
+        (7, 10),  # sparse density -> hist kernel path
+        (1, 10),  # 75% density -> density guard falls back to XLA scatter
+        (7, 18),  # table too big for the hist packing -> compact+scatter path
+    ],
+)
+def test_update_sparse_path_bitexact(monkeypatch, s_bits, r_bits):
+    rng = np.random.default_rng(4)
+    ks = (8, 12)
+    stride = 120
+    batches = [
+        jnp.asarray(rng.integers(0, 5, (16, 128), dtype=np.uint8)) for _ in range(2)
+    ]
+
+    monkeypatch.delenv("NTCARD_SCATTER", raising=False)
+    base_t, base_f1 = _run_updates(batches, ks, s_bits, r_bits, stride)
+
+    monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
+    jax.clear_caches()  # _update's trace bakes in the mode
+    try:
+        got_t, got_f1 = _run_updates(batches, ks, s_bits, r_bits, stride)
+    finally:
+        monkeypatch.delenv("NTCARD_SCATTER", raising=False)
+        jax.clear_caches()
+
+    r_buck = 1 << r_bits
+    # dump row (sentinel bin) is not maintained by the sparse path; the
+    # product never reads it (models/sketch.finalize slices it off)
+    np.testing.assert_array_equal(got_t[:, : 2 * r_buck], base_t[:, : 2 * r_buck])
+    assert got_f1 == base_f1

@@ -183,39 +183,38 @@ def parallel_batches_from_files(
 
 def device_prefetch(
     iterator: Iterable,
-    depth: int = 2,
+    depth: int = 3,
     pack: bool = False,
     stage_times: Optional[dict] = None,
 ) -> Iterator:
-    """prefetch() plus an explicit async host->device transfer in the feeder
-    thread.
+    """Two-stage threaded host->device feed: a decode thread runs the
+    upstream batch generator, a separate transfer thread issues the explicit
+    async ``jax.device_put``, and the caller dispatches.
 
-    Feeding numpy batches straight into a jitted update lets the implicit
-    transfer enqueue *behind* in-flight compute; on tunneled TPU runtimes
-    that serializes pathologically (multi-second stalls per batch — measured
-    5 s/batch vs 160 ms). An explicit async device_put issued from the
-    feeder thread keeps the compute queue clean. On CPU backends this is a
-    cheap no-op pass-through.
+    Two measured pathologies shape this (docs/TPU_BACKEND_NOTES.md):
+      * feeding numpy straight into a jitted update enqueues the implicit
+        transfer *behind* in-flight compute — multi-second stalls per batch
+        on the tunneled runtime; hence the explicit async put;
+      * `device_put` itself burns ~75 ms of host CPU per 4 MB batch in the
+        RPC client (~56 MB/s encode). In one thread that serializes with
+        decode (the bench's decode stage read 57 Mbases/s vs ~500 standalone);
+        in its own thread the encode overlaps decode — measured ~2x
+        end-to-end. Extra put threads do NOT help (client-serialized).
 
     ``pack=True`` additionally nibble-packs each [B, L] batch to [B/2, L]
-    (io.packing.pack_rows) before the transfer — consumers must then call
-    update(batch, packed=True). Transfers issued while compute is in flight
-    cost super-linearly in size on the tunneled runtime (an 8.4 MB put adds
-    ~100 ms, a 4.2 MB put ~10 ms — docs/TPU_BACKEND_NOTES.md), so halving
-    the wire size takes the feeder off the critical path entirely."""
+    (io.packing.pack_rows) in the decode thread — consumers must then call
+    update(batch, packed=True); halving the wire halves the put cost. On
+    CPU backends the whole thing is a cheap pass-through."""
     import jax
 
     from ntcard_tpu.io.packing import pack_rows
 
-    def put(it):
-        for b in it:
-            yield jax.device_put(pack_rows(b) if pack else b)
-
-    def put_timed(it):
-        # cumulative per-stage seconds measured inside the feeder thread:
-        # decode = waiting on the upstream batch generator (host decode+pack
-        # into [B, L] codes, incl. any queue waits), pack = nibble wire
-        # packing, h2d = issuing the async device transfer
+    def decode_stage(it):
+        # runs in prefetch thread 1: upstream decode (+ wire pack)
+        if stage_times is None:
+            for b in it:
+                yield pack_rows(b) if pack else b
+            return
         import time as _time
 
         st = stage_times
@@ -226,15 +225,26 @@ def device_prefetch(
             p = pack_rows(b) if pack else b
             t1 = _time.perf_counter()
             st["pack"] = st.get("pack", 0.0) + (t1 - t0)
-            d = jax.device_put(p)
-            t2 = _time.perf_counter()
-            st["h2d"] = st.get("h2d", 0.0) + (t2 - t1)
             st["batches"] = st.get("batches", 0) + 1
-            yield d
+            yield p
             t_last = _time.perf_counter()
 
-    gen = put(iterator) if stage_times is None else put_timed(iterator)
-    yield from prefetch(gen, depth=depth)
+    def put_stage(it):
+        # runs in prefetch thread 2: the CPU-heavy transfer encode
+        if stage_times is None:
+            for p in it:
+                yield jax.device_put(p)
+            return
+        import time as _time
+
+        st = stage_times
+        for p in it:
+            t0 = _time.perf_counter()
+            d = jax.device_put(p)
+            st["h2d"] = st.get("h2d", 0.0) + (_time.perf_counter() - t0)
+            yield d
+
+    yield from prefetch(put_stage(prefetch(decode_stage(iterator), depth=depth)), depth=depth)
 
 
 def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:

@@ -20,6 +20,11 @@ import time
 from pathlib import Path
 
 WORK = Path(os.environ.get("NTCARD_BENCH_DIR", "/tmp/ntcard_bench"))
+# 600k x 150bp = 90 Mbases (~12 device batches). Measured tradeoff: the
+# tunneled H2D link sustains only ~46 MB/s, so larger inputs converge to a
+# transfer-bound regime that flatters neither side (tested at 2.4M reads:
+# we 477k reads/s, reference 439k); this size exercises every phase while
+# keeping the race honest on both fixed and streaming costs.
 N_READS = 600_000
 READ_LEN = 150
 K = 64
@@ -27,7 +32,7 @@ R_BITS = 16
 
 
 def ensure_data() -> Path:
-    fq = WORK / "reads.fq"
+    fq = WORK / f"reads_{N_READS}.fq"
     if fq.exists() and fq.stat().st_size > 0:
         return fq
     WORK.mkdir(parents=True, exist_ok=True)
@@ -43,7 +48,7 @@ def ensure_data() -> Path:
 
 def measure_reference(fq: Path) -> float:
     """reads/s of the reference binary (cached). 0.0 if unbuildable."""
-    cache = WORK / "ref_reads_per_sec.json"
+    cache = WORK / f"ref_reads_per_sec_{N_READS}.json"
     if cache.exists():
         return json.loads(cache.read_text())["reads_per_sec"]
     ref = Path("/root/reference")
@@ -82,7 +87,7 @@ def measure_reference(fq: Path) -> float:
 
 def measure_ours(fq: Path) -> tuple[float, dict]:
     import ntcard_tpu  # noqa: F401
-    from ntcard_tpu.io.packing import StreamPacker, aligned_stride
+    from ntcard_tpu.io.packing import StreamPacker, aligned_stride, wire_mode_of
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.pipeline import batches_from_files, device_prefetch
@@ -96,11 +101,11 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         t0 = time.perf_counter()
         t_disp = 0.0
         for batch in device_prefetch(
-            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=True),
+            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed="quad"),
             stage_times=stages,
         ):
             td = time.perf_counter()
-            sketch.update(batch, packed=True)
+            sketch.update(batch, packed=wire_mode_of(batch, batch_rows))
             t_disp += time.perf_counter() - td
         tf = time.perf_counter()
         state = sketch.finalize(cov_max=64)

@@ -253,6 +253,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         sketch = ChainedCountTableSketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
+    # wire format: the 2-bit quad wire halves H2D bytes (the tunneled-link
+    # bottleneck) for the single-device sketch; the sharded sketch splits
+    # batches by rows, which the quad delta sidecar does not permit, so it
+    # stays on the nibble wire. NTCARD_WIRE=nibble opts out.
+    import os as _os
+
+    from ntcard_tpu.io.packing import quad_ok, wire_mode_of
+
+    use_quad = (
+        _os.environ.get("NTCARD_WIRE", "quad") == "quad"
+        and (n_procs > 1 or n_dev == 1)  # per-host/single-dev private sketches
+        and quad_ok(batch_rows, chunk_len)
+    )
+    wire_fmt = "quad" if use_quad else True
+
     metrics = Metrics(opt.metrics)
     stats: dict = {}
     stages: dict = {}
@@ -261,12 +276,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         for batch in device_prefetch(
             parallel_batches_from_files(
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
-                wire_packed=True,
+                wire_packed=wire_fmt,
             ),
             stage_times=stages if metrics.enabled else None,
         ):
             with metrics.phase("pipeline.dispatch"):
-                sketch.update(batch, packed=True)
+                sketch.update(
+                    batch,
+                    packed=wire_mode_of(batch, batch_rows) if use_quad else True,
+                )
     for name in ("decode", "pack", "h2d"):
         if name in stages:
             metrics.phases[f"pipeline.{name}"] = stages[name]

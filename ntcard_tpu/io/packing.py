@@ -45,6 +45,88 @@ def unpack_rows_np(packed: np.ndarray) -> np.ndarray:
     return np.concatenate([packed >> 4, packed & 0x0F], axis=0)
 
 
+# --- quad wire: 2 bits/base + delta-coded N positions -----------------------
+#
+# The tunneled host->device link sustains only ~46 MB/s, so wire bytes are
+# the streaming bottleneck (docs/TPU_BACKEND_NOTES.md). 2 bits/base is the
+# information floor for ACGT; N positions (record separators, real Ns, pad)
+# travel as a uint16 delta stream appended to the same array (one transfer).
+# The device rebuilds the exact nibble-path code stream: 2-bit unpack + one
+# scatter-set of N_CODE at the decoded positions (ops/nthash.unpack_quad),
+# so every downstream bit is unchanged.
+#
+# Delta stream spec (entries little-endian uint16, column-major over the
+# device's [nslots/128, 128] view so position decode is a cheap per-column
+# cumsum + tiny lane prefix):
+#   0..65533  advance by v from the previous N position (first entry is the
+#             absolute flat position in [B, L] row-major space) and mark
+#   0xFFFF    advance by 65533, no mark (gap chaining)
+#   0xFFFE    pad: no advance, no mark
+_QUAD_MAX_DELTA = 65533
+QUAD_PAD = 0xFFFE
+QUAD_SKIP = 0xFFFF
+
+
+def quad_delta_rows(batch_rows: int) -> int:
+    """uint8 rows appended for the delta stream: slots = B*L/128 (one slot
+    per 128 bases covers >=130bp-read workloads; denser N/record content
+    overflows and falls back to the nibble wire per batch)."""
+    return batch_rows // 64
+
+
+def quad_wire_rows(batch_rows: int) -> int:
+    return batch_rows // 4 + quad_delta_rows(batch_rows)
+
+
+def quad_ok(batch_rows: int, chunk_len: int) -> bool:
+    """Geometry admissibility of the quad wire (see pack_rows_quad)."""
+    if batch_rows % 64 or chunk_len % 2:
+        return False
+    return (quad_delta_rows(batch_rows) * chunk_len // 2) % 128 == 0
+
+
+def wire_mode_of(wire: np.ndarray, batch_rows: int) -> str:
+    """Which wire format a packed batch is in, by row count."""
+    r = wire.shape[0]
+    if r == batch_rows // 2:
+        return "nibble"
+    if r == quad_wire_rows(batch_rows):
+        return "quad"
+    raise ValueError(f"not a wire batch for batch_rows={batch_rows}: rows={r}")
+
+
+def pack_rows_quad(batch: np.ndarray) -> Optional[np.ndarray]:
+    """Quad-pack a [B, L] uint8 code batch to [B/4 + B/64, L], or None when
+    the geometry is inadmissible or the N count overflows the delta slots
+    (callers then use pack_rows). Byte layout: rows [0, B/4) carry rows
+    b, b+B/4, b+2B/4, b+3B/4 at 2 bits each (N sent as 0 and restored from
+    the delta stream); the tail rows carry the delta stream."""
+    B, L = batch.shape
+    if not quad_ok(B, L):
+        return None
+    g = B // 4
+    drows = quad_delta_rows(B)
+    nslots = drows * L // 2
+    pos = np.flatnonzero(batch == N)
+    if len(pos) > nslots:
+        return None
+    d = np.diff(pos, prepend=0)
+    skips = np.maximum(0, (d - 1) // _QUAD_MAX_DELTA)
+    total = len(pos) + int(skips.sum())
+    if total > nslots:
+        return None
+    stream = np.full(nslots, QUAD_PAD, np.uint16)
+    stream[:total] = QUAD_SKIP
+    if len(pos):
+        stream[np.cumsum(skips + 1) - 1] = (d - skips * _QUAD_MAX_DELTA).astype(np.uint16)
+    q = np.where(batch == N, 0, batch).astype(np.uint8)
+    w = q[:g] | (q[g : 2 * g] << 2) | (q[2 * g : 3 * g] << 4) | (q[3 * g :] << 6)
+    # column-major over the device's [nslots/128, 128] view
+    cm = np.ascontiguousarray(stream.reshape(128, nslots // 128).T)
+    tail = cm.reshape(-1).view(np.uint8).reshape(drows, L)
+    return np.concatenate([w, tail], axis=0)
+
+
 def aligned_stride(chunk_len: int, kmax: int) -> int:
     """Owned window starts per chunk: at most chunk_len - (kmax-1) so every
     window is fully in-chunk, rounded DOWN to a multiple of 8 — the TPU

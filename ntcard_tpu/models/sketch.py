@@ -129,11 +129,16 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, pack
 
 def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     """Pallas-backed batch step (called inside _update's jit trace). The
-    kernel wants [B, L] row-major codes; nibble wire batches are unpacked
-    on device first (cheap fused elementwise pass)."""
+    kernel wants [B, L] row-major codes; wire batches are unpacked on
+    device first (cheap fused elementwise pass; quad additionally costs a
+    transpose back to row-major)."""
     from ntcard_tpu.ops.nthash_pallas import sketch_idx_pallas
 
-    if packed:
+    if packed == "quad":
+        from ntcard_tpu.ops.nthash import unpack_quad
+
+        codes = unpack_quad(codes).T
+    elif packed:
         codes = jnp.concatenate([codes >> 4, codes & 0x0F], axis=0)
     interpret = jax.devices()[0].platform != "tpu"
     idx = sketch_idx_pallas(

@@ -75,6 +75,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.packer_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.packer_pop_packed.restype = ctypes.c_int
     lib.packer_pop_packed.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.packer_pop_quad.restype = ctypes.c_int
+    lib.packer_pop_quad.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.packer_stats.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_longlong),
@@ -158,9 +160,11 @@ class NativePacker:
         self.chunk_len = chunk_len
         self.batch_rows = batch_rows
         self.stride = lib.packer_stride(self._h)
-        # wire_packed: pop [B/2, L] nibble-packed batches (the H2D wire
-        # format, io/packing.pack_rows layout) fused in C — saves a full
-        # numpy pass over every base on the hot path
+        # wire_packed: False = raw [B, L] codes; True/"nibble" = [B/2, L]
+        # nibble wire; "quad" = [B/4 + B/64, L] 2-bit wire with delta-coded
+        # N positions (io/packing.pack_rows_quad), falling back to nibble
+        # per batch when the N count overflows the delta slots. All fused
+        # in C — no numpy pass over the bases on the hot path.
         self.wire_packed = wire_packed
 
     def __del__(self):
@@ -170,6 +174,25 @@ class NativePacker:
             self._h = None
 
     def _pop_all(self) -> Iterator[np.ndarray]:
+        from ntcard_tpu.io.packing import quad_ok, quad_wire_rows
+
+        quad = self.wire_packed == "quad" and quad_ok(self.batch_rows, self.chunk_len)
+        if quad:
+            qrows = quad_wire_rows(self.batch_rows)
+            nrows = self.batch_rows // 2
+            while True:
+                out = np.empty((qrows, self.chunk_len), np.uint8)
+                r = self._lib.packer_pop_quad(self._h, out.ctypes.data_as(ctypes.c_void_p))
+                if r == 0:
+                    return
+                if r < 0:  # N overflow: same batch, nibble wire
+                    out = np.empty((nrows, self.chunk_len), np.uint8)
+                    if not self._lib.packer_pop_packed(
+                        self._h, out.ctypes.data_as(ctypes.c_void_p)
+                    ):
+                        return
+                yield out
+            return
         if self.wire_packed:
             pop, rows = self._lib.packer_pop_packed, self.batch_rows // 2
         else:

@@ -144,6 +144,86 @@ struct Packer {
     return true;
   }
 
+  // compose one ready batch in the quad wire format (io/packing.pack_rows_quad):
+  // rows [0, B/4) hold chunk rows b, b+B/4, b+2B/4, b+3B/4 at 2 bits each
+  // (N sent as 0), followed by B/64 rows of a little-endian uint16 delta
+  // stream of the flat N positions in [B, L] row-major space (values
+  // 0..65533 advance+mark, 0xFFFF advance 65533 no-mark, 0xFFFE pad),
+  // arranged column-major over the device's [nslots/128, 128] view.
+  // Returns 1 on success, 0 if no batch is ready, -1 if the N count
+  // overflows the delta slots (the stream buffer is left untouched so the
+  // caller can pop the same batch nibble-packed instead).
+  int pop_batch_quad(uint8_t* out) {
+    if (ready_count() == 0) return 0;
+    if (batch_rows % 64 || chunk_len % 2) return -1;
+    const int g = batch_rows / 4;
+    const int drows = batch_rows / 64;
+    const size_t nslots = (size_t)drows * chunk_len / 2;
+    if (nslots % 128) return -1;
+    const size_t nr = nslots / 128;
+    const uint8_t* b = buf.data();
+
+    // pass 1: delta stream (positions strictly increasing in flat order)
+    uint16_t* tail = (uint16_t*)(out + (size_t)g * chunk_len);
+    size_t si = 0;
+    long long prev = 0;
+    // write entry i at column-major slot (i % nr, i / nr)
+    auto emit = [&](uint16_t v) {
+      size_t slot = (si % nr) * 128 + (si / nr);
+      tail[slot] = v;
+      si++;
+    };
+    for (int r = 0; r < batch_rows; r++) {
+      const uint8_t* row = b + (size_t)r * stride;
+      for (int j = 0; j < chunk_len; j++) {
+        if (row[j] != 4) continue;
+        long long flat = (long long)r * chunk_len + j;
+        long long d = flat - prev;
+        while (d > 65533) {
+          if (si >= nslots) return -1;
+          emit(0xFFFF);
+          d -= 65533;
+        }
+        if (si >= nslots) return -1;
+        emit((uint16_t)d);
+        prev = flat;
+      }
+    }
+    // pad the unused slots
+    size_t used = si;
+    for (size_t i = used; i < nslots; i++) {
+      size_t slot = (i % nr) * 128 + (i / nr);
+      tail[slot] = 0xFFFE;
+    }
+
+    // pass 2: 2-bit code rows (N -> 0)
+    const size_t qoff = (size_t)g * stride;
+    for (int r = 0; r < g; r++) {
+      const uint8_t* c0 = b + (size_t)r * stride;
+      const uint8_t* c1 = c0 + qoff;
+      const uint8_t* c2 = c1 + qoff;
+      const uint8_t* c3 = c2 + qoff;
+      uint8_t* dst = out + (size_t)r * chunk_len;
+      for (int j = 0; j < chunk_len; j++) {
+        uint8_t v0 = c0[j] == 4 ? 0 : c0[j];
+        uint8_t v1 = c1[j] == 4 ? 0 : c1[j];
+        uint8_t v2 = c2[j] == 4 ? 0 : c2[j];
+        uint8_t v3 = c3[j] == 4 ? 0 : c3[j];
+        dst[j] = (uint8_t)(v0 | (v1 << 2) | (v2 << 4) | (v3 << 6));
+      }
+    }
+
+    // success: consume the batch from the stream buffer
+    size_t rest = n + pend - batch_span;
+    memmove(buf.data(), buf.data() + batch_span, rest);
+    n -= batch_span;
+    if (flushed && ready_count() == 0) {
+      n = 0;
+      flushed = false;
+    }
+    return 1;
+  }
+
   static bool is_number(const std::string& t) {
     if (t.empty()) return false;
     for (char c : t)
@@ -398,6 +478,14 @@ int packer_pop(void* h, uint8_t* out) {
 // ((batch_rows/2)*chunk_len bytes, io/packing.pack_rows layout); 1 on success
 int packer_pop_packed(void* h, uint8_t* out) {
   return ((Packer*)h)->pop_batch(out, true) ? 1 : 0;
+}
+
+// pop one ready batch in the quad wire format
+// ((batch_rows/4 + batch_rows/64)*chunk_len bytes, io/packing.pack_rows_quad
+// layout); 1 on success, 0 if not ready, -1 on delta-slot overflow (pop the
+// same batch with packer_pop_packed instead)
+int packer_pop_quad(void* h, uint8_t* out) {
+  return ((Packer*)h)->pop_batch_quad(out);
 }
 
 void packer_stats(void* h, long long* records, long long* bases) {

@@ -104,6 +104,57 @@ def unpack_rows(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([p >> 4, p & 0x0F], axis=1)
 
 
+def unpack_quad(wire: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of io.packing.pack_rows_quad: [B/4 + B/64, L]
+    uint8 quad wire -> [L, B] transposed code stream, bit-identical to the
+    nibble path's.
+
+    Two parts: a 2-bit unpack of the code rows (N was sent as 0), then the
+    uint16 delta stream (see packing.py for the spec) is decoded to flat
+    N positions — per-column cumsum of the column-major stream plus a tiny
+    lane prefix of column totals — and one scatter-set restores N_CODE at
+    those positions. The wire is ~47% of the nibble wire's bytes; the
+    host->device link (~46 MB/s through the tunnel) is the streaming
+    bottleneck, so bytes are what this buys back."""
+    R, L = wire.shape
+    if R % 17:
+        raise ValueError(f"quad wire rows ({R}) must be a multiple of 17")
+    B = R * 64 // 17
+    g = B // 4
+    p = wire[:g].T  # [L, B/4]
+    three = np.uint8(3)
+    cT = jnp.concatenate(
+        [p & three, (p >> 2) & three, (p >> 4) & three, (p >> 6) & three], axis=1
+    )
+    tail = wire[g:].reshape(-1, 2)  # little-endian uint16 pairs
+    v = tail[:, 0].astype(jnp.int32) | (tail[:, 1].astype(jnp.int32) << np.int32(8))
+    A = v.reshape(-1, 128)  # [nslots/128, 128], stream runs down columns
+    adv = jnp.where(
+        A == np.int32(0xFFFF),
+        np.int32(65533),
+        jnp.where(A == np.int32(0xFFFE), np.int32(0), A),
+    )
+    mark = A < np.int32(0xFFFE)
+    colsum = jnp.cumsum(adv, axis=0)
+    totals = colsum[-1]
+    offs = jnp.cumsum(totals) - totals  # exclusive lane prefix (128 elems)
+    pos = colsum + offs[None, :]
+    li = jnp.where(mark, pos % np.int32(L), np.int32(L))  # L = out of bounds
+    bi = pos // np.int32(L)
+    return cT.at[li.reshape(-1), bi.reshape(-1)].set(np.uint8(N_CODE), mode="drop")
+
+
+def _codes_T(codes: jnp.ndarray, packed) -> jnp.ndarray:
+    """[*, L] wire/code batch -> [L, B] transposed code stream. ``packed``:
+    False = raw [B, L] codes, True/"nibble" = nibble wire, "quad" = quad
+    wire."""
+    if packed == "quad":
+        return unpack_quad(codes)
+    if packed:
+        return unpack_rows(codes)
+    return codes.T
+
+
 def window_hashes(
     codes: jnp.ndarray,
     ks: Sequence[int],
@@ -113,12 +164,12 @@ def window_hashes(
 ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Canonical (spaced) window hashes for every k.
 
-    codes: [B, L] uint8 (or [B/2, L] row-paired nibbles when ``packed``).
+    codes: [B, L] uint8 (or a wire batch when ``packed``; see _codes_T).
     Returns {k: (hi, lo, valid)}, each [stride, B] (position-major)."""
     if mask_positions and len(ks) != 1:
         raise ValueError("spaced seeds support a single k only (reference parity)")
 
-    cT = unpack_rows(codes) if packed else codes.T  # [L, B] uint8
+    cT = _codes_T(codes, packed)  # [L, B] uint8
     L, B = cT.shape
     mneg, ky, kyc = _position_consts(L, B)
 
@@ -203,7 +254,7 @@ def window_hashes_doubling(
     if mask_positions and len(ks) != 1:
         raise ValueError("spaced seeds support a single k only (reference parity)")
 
-    cT = unpack_rows(codes) if packed else codes.T  # [L, B] uint8
+    cT = _codes_T(codes, packed)  # [L, B] uint8
     S = stride
 
     def shift_up(x, s):

@@ -70,14 +70,16 @@ def batches_from_files(
     wire_packed: bool = False,
 ) -> Iterator[np.ndarray]:
     """Dense [batch_rows, chunk_len] uint8 batches over all input records —
-    or, with ``wire_packed``, [batch_rows/2, chunk_len] nibble-packed H2D
-    wire batches (io/packing.pack_rows layout; consumers pass packed=True to
-    sketch.update).
+    or, with ``wire_packed``, H2D wire batches: True/"nibble" gives
+    [batch_rows/2, chunk_len] nibble wire (io/packing.pack_rows), "quad"
+    gives the [batch_rows/4 + batch_rows/64, chunk_len] 2-bit wire
+    (io/packing.pack_rows_quad) with automatic per-batch nibble fallback on
+    N-count overflow; consumers pass packed=io.packing.wire_mode_of(...) to
+    sketch.update.
 
     Uses the native C++ decode+pack layer when available (~10x the Python
-    path, and with wire_packed the nibble pack is fused into the batch
-    composition pass); both paths produce byte-identical batch streams
-    (tests/test_native_packer.py)."""
+    path, with the wire pack fused into the batch composition pass); both
+    paths produce byte-identical batch streams (tests/test_native_packer.py)."""
     if records is None:
         from ntcard_tpu.native import get_lib, native_batches_from_files
 
@@ -87,15 +89,21 @@ def batches_from_files(
                 on_error=on_error, stats_out=stats_out, wire_packed=wire_packed,
             )
             return
-    from ntcard_tpu.io.packing import pack_rows
+    from ntcard_tpu.io.packing import pack_rows, pack_rows_quad
+
+    def wire(b):
+        if wire_packed == "quad":
+            w = pack_rows_quad(b)
+            return w if w is not None else pack_rows(b)
+        return pack_rows(b) if wire_packed else b
 
     packer = StreamPacker(chunk_len, batch_rows, kmax)
     recs = records if records is not None else iter_file_records(paths, lenient, on_error)
     for rec in recs:
         for b in packer.feed(rec):
-            yield pack_rows(b) if wire_packed else b
+            yield wire(b)
     for b in packer.finish():
-        yield pack_rows(b) if wire_packed else b
+        yield wire(b)
     if stats_out is not None:
         stats_out["records"] = packer.total_records
         stats_out["bases"] = packer.total_bases - packer.total_records  # minus separators

@@ -98,6 +98,44 @@ def _table_add(table, idx, r_bits):
     )
 
 
+def _tables_add_combined(tables, idx_list, r_bits):
+    """Multi-k big-table update as one flat-offset compact + scatter.
+
+    Per-k emit streams are shifted into disjoint [k*(T), (k+1)*T) ranges of
+    the flattened [nK*T] table (T = 2*r_buck+1), with every per-k sentinel
+    normalized to the single out-of-range value nK*T; one compact_pallas
+    pass then extracts all sampled updates and one scatter applies them.
+    Density overflow falls back to per-k plain scatters (bit-identical)."""
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+    mode = _sparse_mode()
+    interp = mode == "interpret"
+    nk, T = tables.shape
+    r_buck = 1 << r_bits
+    sent = np.int32(2 * r_buck)
+    sent_all = nk * T  # past the flat table: dropped by the scatter
+    adj = jnp.concatenate(
+        [
+            jnp.where(ix == sent, np.int32(sent_all), ix + np.int32(i * T)).reshape(-1)
+            for i, ix in enumerate(idx_list)
+        ]
+    )
+    n = idx_list[0].size
+    cap = min(max(2 * nk * (n // 16), 128), nk * n)
+    cap = (cap + 127) // 128 * 128
+    vals, cnt = compact_pallas(adj, sent_all, cap, interpret=interp)
+
+    def sparse(t):
+        return t.reshape(-1).at[vals].add(1, mode="drop").reshape(nk, T)
+
+    def fallback(t):
+        return jnp.stack(
+            [t[i].at[ix].add(1, mode="drop") for i, ix in enumerate(idx_list)]
+        )
+
+    return jax.lax.cond(cnt <= np.int32(cap), sparse, fallback, tables)
+
+
 @partial(
     jax.jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
@@ -118,13 +156,21 @@ def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, pack
     if os.environ.get("NTCARD_KERNEL") == "pallas" and not mask_positions:
         return _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed)
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
-    new_tables = []
     new_f1s = []
     for i, k in enumerate(ks):
-        new_tables.append(_table_add(tables[i], idx[k], r_bits))
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
         new_f1s.append(jnp.stack([hi, lo]))
-    return jnp.stack(new_tables), jnp.stack(new_f1s)
+    flat_fits_i32 = len(ks) * (2 ** (r_bits + 1) + 1) < 2**31
+    if len(ks) > 1 and r_bits > 17 and flat_fits_i32 and _sparse_mode() != "off":
+        # big-table multi-k: ONE compaction + ONE scatter over all k values
+        # (per-k kernels pay the per-dispatch and big-table-scatter fixed
+        # costs nK times; the flat-offset combine pays them once)
+        new_tables = _tables_add_combined(tables, [idx[k] for k in ks], r_bits)
+    else:
+        new_tables = jnp.stack(
+            [_table_add(tables[i], idx[k], r_bits) for i, k in enumerate(ks)]
+        )
+    return new_tables, jnp.stack(new_f1s)
 
 
 def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):

@@ -75,6 +75,7 @@ def _run_updates(codes_batches, ks, s_bits, r_bits, stride):
         (7, 10),  # sparse density -> hist kernel path
         (1, 10),  # 75% density -> density guard falls back to XLA scatter
         (7, 18),  # table too big for the hist packing -> compact+scatter path
+        (6, 19),  # multi-k big-table -> combined flat-offset compact path
     ],
 )
 def test_update_sparse_path_bitexact(monkeypatch, s_bits, r_bits):

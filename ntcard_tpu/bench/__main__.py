@@ -49,22 +49,35 @@ def bench_kernel():
     import jax
     import jax.numpy as jnp
 
+    from ntcard_tpu.models.sketch import _table_add
     from ntcard_tpu.ops.nthash import sketch_scan
 
     rng = np.random.default_rng(0)
-    print("# fused hash+sample+scatter (chained, drained)")
+    print("# hash+sample+table-update (chained, drained)")
+    print("#   scatter = plain XLA scatter-add; sparse = the product path")
+    print("#   (ops/scatter_pallas.py on TPU; identical on CPU backends)")
     for k, B, L in [(32, 8192, 1024), (64, 8192, 1024), (128, 8192, 1024), (64, 16384, 1024)]:
         stride = ((L - k + 1) // 8) * 8
         batches = [jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8)) for _ in range(4)]
         table0 = jnp.zeros((2 * (1 << 16) + 1,), jnp.int32)
 
         @jax.jit
-        def step(codes, table, k=k, stride=stride):
+        def step_scatter(codes, table, k=k, stride=stride):
             idx, _ = sketch_scan(codes, (k,), stride, 7, 16)
             return table.at[jax.lax.optimization_barrier(idx[k])].add(1)
 
-        dt = _chained(step, batches, table0)
-        print(f"k={k:4d} B={B} L={L}: {dt * 1e3:7.1f} ms/batch  {B * stride / dt / 1e6:7.0f} Mbases/s")
+        @jax.jit
+        def step_sparse(codes, table, k=k, stride=stride):
+            idx, _ = sketch_scan(codes, (k,), stride, 7, 16)
+            return _table_add(table, idx[k], 16)
+
+        dt_sc = _chained(step_scatter, batches, table0)
+        dt_sp = _chained(step_sparse, batches, table0)
+        print(
+            f"k={k:4d} B={B} L={L}: scatter {dt_sc * 1e3:7.1f} ms/batch  "
+            f"sparse {dt_sp * 1e3:7.1f} ms/batch  "
+            f"{B * stride / dt_sp / 1e6:7.0f} Mbases/s"
+        )
 
 
 def bench_multik():

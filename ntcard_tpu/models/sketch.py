@@ -86,8 +86,13 @@ def _table_add(table, idx, r_bits):
         )
 
     # huge table (default rBits=27): compact the sampled indices, then
-    # scatter only those; overflow of the compaction buffer falls back
-    cap = min(max(2 * (idx.size // 16), 128), idx.size)
+    # scatter only those; overflow of the compaction buffer falls back.
+    # Cap sizing: expected sampled density is 2^-(sBits+1)+2^-sBits (1.17%
+    # at the sBits=7 default) and binomially concentrated (sigma ~ 500 on
+    # 8M windows), so 1/64 ~ 1.56% is a >>100-sigma margin; the cap also
+    # bounds the kernel's VMEM-resident output buffer, which must stay
+    # small (a n/16 cap made a 12 MB VMEM buffer and starved the kernel).
+    cap = min(max(idx.size // 64, 128), idx.size, 1 << 20)
     cap = (cap + 127) // 128 * 128
     vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
     return jax.lax.cond(
@@ -121,7 +126,9 @@ def _tables_add_combined(tables, idx_list, r_bits):
         ]
     )
     n = idx_list[0].size
-    cap = min(max(2 * nk * (n // 16), 128), nk * n)
+    # same cap reasoning as _table_add's compact path: ~1.56% slots vs the
+    # ~1.17% expected sampled density, and small enough to stay VMEM-friendly
+    cap = min(max(nk * n // 64, 128), nk * n, 1 << 20)
     cap = (cap + 127) // 128 * 128
     vals, cnt = compact_pallas(adj, sent_all, cap, interpret=interp)
 
@@ -294,8 +301,11 @@ class ChainedCountTableSketch:
     def __init__(self, *args, n_chains: int = 2, **kwargs):
         probe = CountTableSketch(*args, **kwargs)
         # chains multiply resident table HBM; cap them so total table bytes
-        # stay within budget (default-r27 multi-k tables are GiB-scale and
-        # two chains plus finalize temps exhausted a 16 GB part)
+        # stay within budget (default-r27 multi-k tables are GiB-scale).
+        # Measured: a second 3.2 GiB chain does NOT help r27 multi-k (the
+        # batch step is compute-bound, and finalize pays a GiB-scale merge),
+        # so the 4 GiB default deliberately collapses r27 multi-k to one
+        # chain while r<=20 runs keep two.
         budget = int(os.environ.get("NTCARD_CHAIN_TABLE_BYTES", 4 << 30))
         table_bytes = probe.tables.size * 4
         n_chains = max(1, min(n_chains, budget // max(table_bytes, 1)))

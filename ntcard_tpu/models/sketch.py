@@ -92,7 +92,7 @@ def _table_add(table, idx, r_bits):
     # 8M windows), so 1/64 ~ 1.56% is a >>100-sigma margin; the cap also
     # bounds the kernel's VMEM-resident output buffer, which must stay
     # small (a n/16 cap made a 12 MB VMEM buffer and starved the kernel).
-    cap = min(max(idx.size // 64, 128), idx.size, 1 << 20)
+    cap = min(max(idx.size // 64, 128), 1 << 20)
     cap = (cap + 127) // 128 * 128
     vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
     return jax.lax.cond(
@@ -128,7 +128,7 @@ def _tables_add_combined(tables, idx_list, r_bits):
     n = idx_list[0].size
     # same cap reasoning as _table_add's compact path: ~1.56% slots vs the
     # ~1.17% expected sampled density, and small enough to stay VMEM-friendly
-    cap = min(max(nk * n // 64, 128), nk * n, 1 << 20)
+    cap = min(max(nk * n // 64, 128), 1 << 20)
     cap = (cap + 127) // 128 * 128
     vals, cnt = compact_pallas(adj, sent_all, cap, interpret=interp)
 

@@ -117,7 +117,9 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         return t1 - t0, stages
 
     run()  # warmup: jit compiles, file cache
-    best, phases = min((run() for _ in range(3)), key=lambda r: r[0])
+    # best-of-5: the tunneled link's throughput swings >2x on ~minute
+    # scales; the best pass is the reproducible machine capability
+    best, phases = min((run() for _ in range(5)), key=lambda r: r[0])
     phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
     return N_READS / best, phases
 

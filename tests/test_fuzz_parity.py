@@ -11,9 +11,10 @@ from pathlib import Path
 
 import pytest
 
-from tools.fuzz_parity import build_reference, run_case
+from tools.fuzz_parity import build_reference, run_case, run_case_nthll
 
 REF = Path("/tmp/ntcard_bench/ntcard_ref")
+REF_HLL = Path("/tmp/ntcard_bench/nthll_ref")
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +29,18 @@ def test_fuzz_case(ref_exe, seed):
     work = Path(tempfile.mkdtemp(prefix="ntcard_fuzz_test_"))
     try:
         msg = run_case(seed, ref_exe, work)
+        assert msg is None, msg
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [201, 202])
+def test_fuzz_nthll_case(seed):
+    if not build_reference(REF_HLL, "nthll.cpp"):
+        pytest.skip("reference nthll unavailable")
+    work = Path(tempfile.mkdtemp(prefix="ntcard_fuzz_hll_"))
+    try:
+        msg = run_case_nthll(seed, REF_HLL, work)
         assert msg is None, msg
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -27,12 +27,12 @@ from pathlib import Path
 REF_SRC = Path("/root/reference")
 
 
-def build_reference(exe: Path) -> bool:
+def build_reference(exe: Path, main_src: str = "ntcard.cpp") -> bool:
     if exe.exists():
         return True
     if not REF_SRC.exists() or not shutil.which("g++"):
         return False
-    srcs = [REF_SRC / "ntcard.cpp"] + [
+    srcs = [REF_SRC / main_src] + [
         REF_SRC / "Common" / f
         for f in ("Uncompress.cpp", "Fcontrol.cpp", "SignalHandler.cpp")
     ]
@@ -182,21 +182,63 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
     return None
 
 
+def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
+    """nthll parity: stdout F0 line must match exactly."""
+    rng = random.Random(seed)
+    case = workdir / f"hll{seed}"
+    case.mkdir(parents=True, exist_ok=True)
+    inp = write_input(rng, case / "in")
+    flags = [f"-k{rng.randrange(4, 129)}"]
+    if rng.random() < 0.4:
+        flags.append(f"-b{rng.choice([8, 10, 16])}")
+    r1 = subprocess.run(
+        [str(ref_exe)] + flags + [str(inp)], capture_output=True, text=True, timeout=300
+    )
+    ndev = 1 if seed % 2 else 8
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli_hll"] + flags + [str(inp)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=Path(__file__).resolve().parents[1],
+    )
+    if (r1.returncode, r1.stdout) != (r2.returncode, r2.stdout):
+        return (
+            f"nthll differs ({flags} {inp.name}): "
+            f"ref rc={r1.returncode} {r1.stdout!r} vs tpu rc={r2.returncode} {r2.stdout!r}"
+        )
+    shutil.rmtree(case, ignore_errors=True)
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ref", default="/tmp/ntcard_bench/ntcard_ref")
+    ap.add_argument("--ref-nthll", default="/tmp/ntcard_bench/nthll_ref")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--nthll", action="store_true", help="fuzz nthll instead of ntcard")
     args = ap.parse_args()
-    ref = Path(args.ref)
-    if not build_reference(ref):
-        print("cannot build reference binary", file=sys.stderr)
-        return 2
+    if args.nthll:
+        ref = Path(args.ref_nthll)
+        if not build_reference(ref, "nthll.cpp"):
+            print("cannot build reference nthll", file=sys.stderr)
+            return 2
+        runner = run_case_nthll
+    else:
+        ref = Path(args.ref)
+        if not build_reference(ref):
+            print("cannot build reference binary", file=sys.stderr)
+            return 2
+        runner = run_case
     work = Path(tempfile.mkdtemp(prefix="ntcard_fuzz_"))
     bad = 0
     for i in range(args.seed, args.seed + args.n):
-        msg = run_case(i, ref, work, keep=args.keep)
+        msg = runner(i, ref, work) if runner is run_case_nthll else run_case(i, ref, work, keep=args.keep)
         status = "ok" if msg is None else f"MISMATCH: {msg}"
         print(f"case {i}: {status}", flush=True)
         bad += msg is not None

@@ -49,6 +49,8 @@ def _sparse_mode() -> str:
         return "off"
     if env == "pallas-interpret":
         return "interpret"
+    if env == "pallas-noguard":  # perf-analysis probe: skip the density cond
+        return "on"
     return "on" if jax.devices()[0].platform == "tpu" else "off"
 
 
@@ -95,6 +97,10 @@ def _table_add(table, idx, r_bits):
     cap = min(max(idx.size // 64, 128), 1 << 20)
     cap = (cap + 127) // 128 * 128
     vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
+    # NOTE: do NOT pass indices_are_sorted to this scatter — on the real
+    # TPU a sorted-hint scatter whose buffer starts with OOB (-1) padding
+    # dropped EVERY update (silently wrong AND "fast"); plain drop-mode is
+    # the verified path
     return jax.lax.cond(
         cnt <= np.int32(cap),
         lambda t: t.at[vals].add(1, mode="drop"),  # empty slots are -1: dropped
@@ -140,6 +146,10 @@ def _tables_add_combined(tables, idx_list, r_bits):
             [t[i].at[ix].add(1, mode="drop") for i, ix in enumerate(idx_list)]
         )
 
+    if os.environ.get("NTCARD_SCATTER") == "pallas-noguard":
+        # perf-analysis probe only: measures whether the cond costs a
+        # GiB-scale table copy (forfeits the overflow fallback)
+        return sparse(tables)
     return jax.lax.cond(cnt <= np.int32(cap), sparse, fallback, tables)
 
 

@@ -152,34 +152,34 @@ def hist_add_pallas(
     return out.reshape(-1)[:tsize]
 
 
-def _extract_pair_full(idx_ref, w, fpos, sent, update):
-    """Like _extract_pair but for arbitrary int32 payloads (no 18-bit bound):
+def _extract_multi_full(idx_ref, w, fpos, sent, update, ways):
+    """Iterated extraction for arbitrary int32 payloads (no 18-bit bound):
     the extraction order rides on positions alone and the value is fetched
-    with a second masked reduction. ``update(pos, val)`` is called once per
+    with a second masked reduction — two vector->scalar moves per element,
+    so ``ways`` windows run interleaved with independent carries to
+    pipeline the moves. ``update(pos, val)`` is called once per
     non-sentinel element; pos == _BIG means an exhausted stream."""
-    rowA = idx_ref[pl.ds(w * 16, 8), :]
-    rowB = idx_ref[pl.ds(w * 16 + 8, 8), :]
-    encA = jnp.where(rowA != sent, fpos, _BIG)
-    encB = jnp.where(rowB != sent, fpos, _BIG)
-    n = jnp.maximum(
-        jnp.sum((rowA != sent).astype(jnp.int32)),
-        jnp.sum((rowB != sent).astype(jnp.int32)),
-    )
+    rows = [idx_ref[pl.ds((w * ways + j) * 8, 8), :] for j in range(ways)]
+    encs = [jnp.where(r != sent, fpos, _BIG) for r in rows]
+    n = jnp.sum((rows[0] != sent).astype(jnp.int32))
+    for r in rows[1:]:
+        n = jnp.maximum(n, jnp.sum((r != sent).astype(jnp.int32)))
 
     def body(_, prevs):
-        pA, pB = prevs
-        eA = jnp.min(jnp.where(encA > pA, encA, _BIG))
-        eB = jnp.min(jnp.where(encB > pB, encB, _BIG))
-        vA = jnp.sum(jnp.where(fpos == eA, rowA, np.int32(0)))
-        vB = jnp.sum(jnp.where(fpos == eB, rowB, np.int32(0)))
-        update(eA, vA)
-        update(eB, vB)
-        return (eA, eB)
+        es = [jnp.min(jnp.where(enc > p, enc, _BIG)) for enc, p in zip(encs, prevs)]
+        vs = [
+            jnp.sum(jnp.where(fpos == e, r, np.int32(0))) for e, r in zip(es, rows)
+        ]
+        for e, v in zip(es, vs):
+            update(e, v)
+        return tuple(es)
 
-    jax.lax.fori_loop(0, n, body, (np.int32(-1), np.int32(-1)))
+    jax.lax.fori_loop(0, n, body, tuple(np.int32(-1) for _ in range(ways)))
 
 
-def _compact_kernel(idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows):
+def _compact_kernel(
+    idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows, ways
+):
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.full((cap_rows, 128), np.int32(-1))
@@ -203,10 +203,10 @@ def _compact_kernel(idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, b
             cnt_ref[0] = c + np.int32(1)
 
     def w_body(w, _):
-        _extract_pair_full(idx_ref, w, fpos, sent, update)
+        _extract_multi_full(idx_ref, w, fpos, sent, update, ways)
         return 0
 
-    jax.lax.fori_loop(0, block_rows // 16, w_body, 0)
+    jax.lax.fori_loop(0, block_rows // (8 * ways), w_body, 0)
 
     # scalar stores to VMEM are illegal; emit the running count as a one-hot
     # row add on the final grid step
@@ -241,9 +241,16 @@ def compact_pallas(
     cap_rows = (cap // 128 + 7) // 8 * 8
     rows = _pad_rows(idx.reshape(-1), np.int32(sent), block_rows)
     grid = rows.shape[0] // block_rows
+    # interleave as many extraction streams as the block allows (two
+    # vector->scalar moves per element; 4 independent streams pipeline them)
+    ways = 4 if (block_rows // 8) % 4 == 0 else 2
     vals, cnt = pl.pallas_call(
         functools.partial(
-            _compact_kernel, sent=np.int32(sent), cap_rows=cap_rows, block_rows=block_rows
+            _compact_kernel,
+            sent=np.int32(sent),
+            cap_rows=cap_rows,
+            block_rows=block_rows,
+            ways=ways,
         ),
         grid=(grid,),
         in_specs=[

@@ -112,3 +112,21 @@ def test_quad_ok_geometry():
     assert quad_ok(8192, 1024)
     assert not quad_ok(8192, 1023)  # odd L
     assert not quad_ok(96, 128)  # B % 64
+
+
+def test_sketch_quad_matches_raw_gap_seed():
+    """Spaced seeds (NTMS64 mask stripping) read extra positions of the
+    code stream; the quad decode must feed them identically."""
+    k, gap = 13, 3
+    half = (k - gap) // 2
+    gap_positions = tuple(range(half, half + gap))
+    a = CountTableSketch((k,), 7, 10, 112, gap_positions=gap_positions)
+    b = CountTableSketch((k,), 7, 10, 112, gap_positions=gap_positions)
+    for _ in range(2):
+        x = _codes(128, 128, 0.005)
+        a.update(x)
+        w = pack_rows_quad(x)
+        assert w is not None
+        b.update(jnp.asarray(w), packed="quad")
+    np.testing.assert_array_equal(np.asarray(a.tables), np.asarray(b.tables))
+    assert a._f1_totals() == b._f1_totals()

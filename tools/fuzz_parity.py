@@ -131,7 +131,15 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
     rng = random.Random(seed)
     case = workdir / f"case{seed}"
     case.mkdir(parents=True, exist_ok=True)
-    inp = write_input(rng, case / "in")
+    n_files = rng.choice([1, 1, 1, 2, 3])
+    paths = [write_input(rng, case / f"in{i}") for i in range(n_files)]
+    if n_files > 1 and rng.random() < 0.5:
+        lst = case / "files.lst"
+        lst.write_text("".join(f"{p}\n" for p in paths))
+        file_args = [f"@{lst}"]
+    else:
+        file_args = [str(p) for p in paths]
+    inp = paths[0]
     flags, ks = random_flags(rng)
     compact = rng.random() < 0.3
 
@@ -141,7 +149,7 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         return ["-p", str(case / tag)]
 
     r1 = subprocess.run(
-        [str(ref_exe)] + flags + outargs("ref") + [str(inp)],
+        [str(ref_exe)] + flags + outargs("ref") + file_args,
         capture_output=True, text=True, timeout=300,
     )
     # alternate single-device (quad wire) and 8-virtual-device (sharded,
@@ -153,7 +161,7 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
     )
     r2 = subprocess.run(
-        [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + [str(inp)],
+        [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,
         cwd=Path(__file__).resolve().parents[1],
     )

@@ -117,9 +117,19 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         return t1 - t0, stages
 
     run()  # warmup: jit compiles, file cache
-    # best-of-5: the tunneled link's throughput swings >2x on ~minute
-    # scales; the best pass is the reproducible machine capability
-    best, phases = min((run() for _ in range(5)), key=lambda r: r[0])
+    # best-of-up-to-5: the tunneled link's throughput swings >2x on ~minute
+    # scales; the best pass is the reproducible machine capability. A wall
+    # budget bounds the total so a bad-weather hour still emits the metric
+    # (single passes have been observed to take 100x their fair-weather
+    # time) instead of tripping an outer timeout.
+    best, phases = run()
+    t_start = time.perf_counter()
+    for _ in range(4):
+        t, ph = run()
+        if t < best:
+            best, phases = t, ph
+        if time.perf_counter() - t_start > 120:
+            break
     phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
     return N_READS / best, phases
 

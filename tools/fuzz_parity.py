@@ -95,6 +95,8 @@ def write_input(rng: random.Random, path_base: Path):
         )
         body = hdr + rows
         p = path_base.with_suffix(".sam")
+    if rng.random() < 0.15:
+        body = body.replace("\n", "\r\n")  # CRLF files (CR is seq-adjacent)
     data = body.encode()
     if fmt != "sam" and rng.random() < 0.3:
         p = Path(str(p) + ".gz")
@@ -119,8 +121,8 @@ def random_flags(rng: random.Random):
     flags = ["-k" + ",".join(map(str, k))]
     if g:
         flags.append(f"-g{g}")
-    flags.append(f"-c{rng.choice([10, 64, 200])}")
-    flags.append(f"-r{rng.choice([12, 14, 16, 18])}")
+    flags.append(f"-c{rng.choice([1, 10, 64, 200])}")
+    flags.append(f"-r{rng.choice([8, 12, 14, 16, 18])}")
     if rng.random() < 0.3:
         flags.append(f"-t{rng.choice([1, 2, 3])}")
     return flags, k

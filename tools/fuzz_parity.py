@@ -69,7 +69,10 @@ def random_seq(rng: random.Random, n: int) -> str:
 def write_input(rng: random.Random, path_base: Path):
     """Random records in a random container; returns the input path."""
     n_rec = rng.randrange(1, 400)
-    maxlen = rng.choice([30, 80, 200, 600])
+    maxlen = rng.choice([30, 80, 200, 600, 600, 600])
+    if rng.random() < 0.15:  # chromosome-style: few records spanning many
+        n_rec = rng.randrange(1, 6)  # (kmax-1)-halo chunks
+        maxlen = 20_000
     recs = [random_seq(rng, rng.randrange(0, maxlen)) for _ in range(n_rec)]
     fmt = rng.choice(["fq", "fa", "fa_wrapped", "sam"])
     if fmt == "fq":

@@ -174,14 +174,123 @@ def parse_args(argv: List[str]) -> tuple:
     return opt, args
 
 
+def _gap_positions(opt) -> Optional[tuple]:
+    if opt.gap == 0:
+        return None
+    # seed '1'*(k-g)/2 + '0'*g + '1'*(k-g)/2 (ntcard.cpp:407-413)
+    half = (opt.k_list[0] - opt.gap) // 2
+    return tuple(range(half, half + opt.gap))
+
+
+def _use_host_engine(opt, total_size: int) -> bool:
+    """Engine selection (NTCARD_ENGINE=auto|host|device).
+
+    "auto" routes small inputs to the native host engine
+    (models/host_engine.py) ONLY on accelerator platforms, where runtime
+    handshake + program load + H2D transfer are fixed costs that dominate
+    small jobs; large inputs stream to the device path. On the CPU platform
+    (tests, machines without accelerators) the XLA path is already host
+    execution, so auto never switches. The 64 MB default threshold is
+    env-tunable (NTCARD_HOST_MAX_BYTES) — on slow tunneled links a larger
+    value can win (see README measurements)."""
+    import os
+
+    eng = os.environ.get("NTCARD_ENGINE", "auto")
+    if eng == "host":
+        return True
+    if eng != "auto":
+        return False
+    if os.environ.get("NTCARD_COORDINATOR") or opt.coordinator or opt.num_hosts:
+        return False  # multi-host runs are a device-path feature
+    if opt.devices > 1:
+        return False  # explicit multi-device request
+    plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+    if plat in ("", "cpu"):
+        return False
+    if total_size >= int(os.environ.get("NTCARD_HOST_MAX_BYTES", 64 << 20)):
+        return False
+    from ntcard_tpu.models.host_engine import host_engine_available
+
+    return host_engine_available()
+
+
+def _main_host(opt, in_files, s_time) -> int:
+    """Host-engine run: same outputs, no device/jax involvement at all (the
+    import alone costs ~0.7 s — material next to a sub-second job)."""
+    from ntcard_tpu.io.packing import aligned_stride
+    from ntcard_tpu.models.estimate import comp_est_hist
+    from ntcard_tpu.models.host_engine import HostCountTableSketch
+    from ntcard_tpu.native import native_batches_from_files
+    from ntcard_tpu.output import write_compact, write_default
+    from ntcard_tpu.pipeline import default_geometry, prefetch
+    from ntcard_tpu.utils.metrics import Metrics
+
+    ks = opt.k_list
+    kmax = max(ks)
+    chunk_len, _ = default_geometry(kmax)
+    if opt.chunk_len:
+        chunk_len = opt.chunk_len
+    stride = aligned_stride(chunk_len, kmax)
+    # -t keeps its reference meaning (decode fan-out hint); the engine's
+    # in-batch row threading always uses the machine (like the device path
+    # always uses the whole chip)
+    sketch = HostCountTableSketch(
+        ks, opt.s_bits, opt.r_bits, stride, gap_positions=_gap_positions(opt)
+    )
+    metrics = Metrics(opt.metrics)
+    stats: dict = {}
+    with metrics.phase("pipeline"):
+        # decode in a background thread, hash/count in the foreground — both
+        # release the GIL, so the stages genuinely overlap
+        for batch in prefetch(
+            native_batches_from_files(
+                in_files, chunk_len, opt.batch_rows, kmax, stats_out=stats
+            )
+        ):
+            with metrics.phase("pipeline.dispatch"):
+                sketch.update(batch)
+    if opt.save_sketch:
+        sketch.save(opt.save_sketch)
+    with metrics.phase("finalize"):
+        state = sketch.finalize(cov_max=opt.cov_max)
+    results = {}
+    with metrics.phase("estimate"):
+        for k in ks:
+            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
+            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
+    with metrics.phase("output"):
+        if not opt.output:
+            write_default(opt.prefix, ks, results, opt.cov_max)
+        else:
+            write_compact(opt.output, ks, results, opt.cov_max)
+    metrics.add("reads", stats.get("records", 0))
+    metrics.add("bases", stats.get("bases", 0))
+    metrics.tag("engine", "host")
+    metrics.report()
+    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     s_time = time.monotonic()
     opt, args = parse_args(sys.argv[1:] if argv is None else argv)
 
-    import jax
-
     from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.io.readers import expand_file_args
+
+    in_files = expand_file_args(args)
+
+    # <50 GB heuristic overrides -s after parsing (ntcard.cpp:427-431) —
+    # over the GLOBAL input, so every host picks the same sBits.
+    total_size = sum(input_size(f) for f in in_files)
+    if total_size < 50_000_000_000:
+        opt.s_bits = 7
+
+    if _use_host_engine(opt, total_size):
+        return _main_host(opt, in_files, s_time)
+
+    import jax
+
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.output import write_compact, write_default
@@ -207,14 +316,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         opt.host_id if opt.host_id >= 0 else None,
     )
 
-    in_files = expand_file_args(args)
-
-    # <50 GB heuristic overrides -s after parsing (ntcard.cpp:427-431) —
-    # over the GLOBAL input, so every host picks the same sBits.
-    total_size = sum(input_size(f) for f in in_files)
-    if total_size < 50_000_000_000:
-        opt.s_bits = 7
-
     if n_procs > 1:
         sizes = [input_size(f) for f in in_files]
         in_files = host_file_assignment(in_files, sizes, n_procs, proc_id)
@@ -226,11 +327,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         chunk_len = opt.chunk_len
     batch_rows = opt.batch_rows
 
-    gap_positions = None
-    if opt.gap != 0:
-        # seed '1'*(k-g)/2 + '0'*g + '1'*(k-g)/2 (ntcard.cpp:407-413)
-        half = (ks[0] - opt.gap) // 2
-        gap_positions = tuple(range(half, half + opt.gap))
+    gap_positions = _gap_positions(opt)
 
     from ntcard_tpu.io.packing import aligned_stride
 

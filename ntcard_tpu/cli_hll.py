@@ -33,6 +33,32 @@ Report bugs to https://github.com/bcgsc/ntCard/issues
 """
 
 
+def _main_host(args: List[str], km_len: int, n_bits: int) -> int:
+    """Host-engine nthll: same F0 output, no device/jax involvement
+    (models/host_engine.HostHllSketch; lenient sniffing + skip-on-error,
+    the nthll reader contract, nthll.cpp:70-90, 225-235)."""
+    from ntcard_tpu.io.packing import aligned_stride
+    from ntcard_tpu.io.readers import expand_file_args
+    from ntcard_tpu.models.hll import estimate_f0
+    from ntcard_tpu.models.host_engine import HostHllSketch
+    from ntcard_tpu.native import native_batches_from_files
+    from ntcard_tpu.pipeline import default_geometry, prefetch
+
+    in_files = expand_file_args(args)
+    chunk_len, batch_rows = default_geometry(km_len)
+    stride = aligned_stride(chunk_len, km_len)
+    sketch = HostHllSketch(km_len, n_bits, stride)
+    for batch in prefetch(
+        native_batches_from_files(
+            in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
+        )
+    ):
+        sketch.update(batch)
+    f0 = estimate_f0(sketch.registers(), canon=True)
+    sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args_in = sys.argv[1:] if argv is None else argv
     n_bits, km_len = 16, 64
@@ -75,6 +101,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write(f"{PROGRAM}: missing arguments\n")
         sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
         return 1
+
+    # Engine selection (mirrors cli._use_host_engine): on accelerator
+    # platforms, small inputs route to the native host engine — for nthll
+    # the device compute (a 64 KB register max-merge) is so cheap that the
+    # H2D transfer alone exceeds the host engine's total time, so the
+    # default threshold is higher than ntcard's (tunable via
+    # NTCARD_HLL_HOST_MAX_BYTES).
+    import os as _os
+
+    eng = _os.environ.get("NTCARD_ENGINE", "auto")
+    use_host = eng == "host"
+    if eng == "auto" and not _os.environ.get("NTCARD_COORDINATOR"):
+        plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+        if plat not in ("", "cpu"):
+            from ntcard_tpu.io.decompress import input_size as _isize
+            from ntcard_tpu.io.readers import expand_file_args as _expand
+            from ntcard_tpu.models.host_engine import host_engine_available
+
+            total = sum(_isize(f) for f in _expand(args))
+            thresh = int(_os.environ.get("NTCARD_HLL_HOST_MAX_BYTES", 256 << 20))
+            use_host = total < thresh and host_engine_available()
+    if use_host:
+        return _main_host(args, km_len, n_bits)
 
     import jax
 

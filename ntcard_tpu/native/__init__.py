@@ -94,7 +94,101 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_longlong),
     ]
+    lib.ntcard_hist_u16_direct.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.ntcard_host_update.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # codes
+        ctypes.c_longlong,                # rows
+        ctypes.c_longlong,                # row_len
+        ctypes.c_longlong,                # stride
+        ctypes.POINTER(ctypes.c_int32),   # ks
+        ctypes.c_int,                     # nk
+        ctypes.c_int,                     # s_bits
+        ctypes.c_int,                     # r_bits
+        ctypes.POINTER(ctypes.c_int32),   # mask_pos
+        ctypes.c_int,                     # n_mask
+        ctypes.POINTER(ctypes.c_uint16),  # table
+        ctypes.POINTER(ctypes.c_longlong),  # f1
+        ctypes.c_int,                     # nthreads
+    ]
+    lib.ntcard_host_hll_update.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
     return lib
+
+
+def hist_u16_direct(table: "np.ndarray"):
+    """Threaded C histogram over a contiguous uint16 array (host-engine
+    tables). Returns int64[65536], or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(table, dtype=np.uint16)
+    out = np.zeros(65536, dtype=np.int64)
+    lib.ntcard_hist_u16_direct(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        t.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    return out
+
+
+def host_update(codes, stride, ks, s_bits, r_bits, table, f1, mask_positions=None,
+                n_threads=0):
+    """One host-engine batch step: hash+sample+count a [B, L] uint8 code batch
+    into the uint16 [nk, 2*r_buck] table (relaxed-atomic, wraps mod 2^16) and
+    int64 [nk] F1 accumulators. Raises if the native library is unavailable
+    (callers gate engine selection on get_lib())."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native host engine unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    ks_arr = np.asarray(ks, dtype=np.int32)
+    mask_arr = np.asarray(mask_positions or [], dtype=np.int32)
+    lib.ntcard_host_update(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        codes.shape[0],
+        codes.shape[1],
+        stride,
+        ks_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ks_arr),
+        s_bits,
+        r_bits,
+        mask_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(mask_arr),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        f1.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n_threads,
+    )
+
+
+def host_hll_update(codes, stride, k, n_bits, regs, n_threads=0):
+    """One host-engine nthll batch step: max-merge clz runs of a [B, L] uint8
+    code batch into the uint8 [2^n_bits] register array."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native host engine unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lib.ntcard_host_hll_update(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        codes.shape[0],
+        codes.shape[1],
+        stride,
+        k,
+        n_bits,
+        regs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
 
 
 def hist_u16(table: "np.ndarray"):

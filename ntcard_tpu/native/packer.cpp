@@ -536,3 +536,255 @@ void ntcard_hist_u16(const int32_t* table, long long n, long long* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host sketch engine: the full hash -> sample -> count pipeline on the host
+// CPU, consuming the SAME [batch_rows, chunk_len] packed code batches as the
+// device kernels (identical separator/halo/stride window-ownership
+// semantics), so parity with the device path is structural. Used for
+// latency-bound small inputs where accelerator startup/transfer dominates
+// (models/host_engine.py); unlike the reference's file-level OpenMP fan-out
+// (ntcard.cpp:445-467, serial on a single big file) this threads WITHIN the
+// batch, over rows.
+//
+// The rolling-hash algebra mirrors ntcard_tpu/ops/nthash_ref.py (our own
+// two-ring derivation of ntHash; see constants.py for the frozen published
+// seed constants, reference vendor/ntHash/nthash.hpp:25-29):
+//   forward window hash  F = XOR_j P^(k-1-j)(seed(w[j]))
+//   reverse window hash  R = XOR_j P^j(seed(comp w[j]))
+//   roll:  F' = P(F) ^ seed(in) ^ P^k(seed(out))
+//          R' = P^-1(R ^ P^k(seed(comp in)) ^ seed(comp out))
+// where P = srol (independent 33-bit low / 31-bit high ring rotation).
+// Rolling starts from 0 at the row edge and is exact once the window is
+// fully inside (every departed base's contribution is removed bit-exactly;
+// seed(N) = 0), the property tests/test_nthash_oracle.py pins.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint64_t HSEED[5] = {
+    0x3C8BFBB395C60474ULL,  // A
+    0x3193C18562A02B4CULL,  // C
+    0x20323ED082572324ULL,  // G
+    0x295549F54BE24456ULL,  // T (and U)
+    0ULL,                   // N/other
+};
+constexpr int HCOMP[5] = {3, 2, 1, 0, 4};
+
+inline uint64_t hsrol1(uint64_t v) {
+  uint64_t lo = v & 0x1FFFFFFFFULL;  // 33-bit ring, bits [0..32]
+  uint64_t hi = v >> 33;             // 31-bit ring, bits [33..63]
+  lo = ((lo << 1) | (lo >> 32)) & 0x1FFFFFFFFULL;
+  hi = ((hi << 1) | (hi >> 30)) & 0x7FFFFFFFULL;
+  return (hi << 33) | lo;
+}
+
+inline uint64_t hsror1(uint64_t v) {
+  uint64_t lo = v & 0x1FFFFFFFFULL;
+  uint64_t hi = v >> 33;
+  lo = ((lo >> 1) | (lo << 32)) & 0x1FFFFFFFFULL;
+  hi = ((hi >> 1) | (hi << 30)) & 0x7FFFFFFFULL;
+  return (hi << 33) | lo;
+}
+
+inline uint64_t hsrol_n(uint64_t v, long n) {
+  uint64_t lo = v & 0x1FFFFFFFFULL;
+  uint64_t hi = v >> 33;
+  int s33 = (int)(n % 33), s31 = (int)(n % 31);
+  if (s33) lo = ((lo << s33) | (lo >> (33 - s33))) & 0x1FFFFFFFFULL;
+  if (s31) hi = ((hi << s31) | (hi >> (31 - s31))) & 0x7FFFFFFFULL;
+  return (hi << 33) | lo;
+}
+
+// Per-k constant tables for the rolling recurrences and (optionally) the
+// spaced-seed strip pass (NTMS64 semantics, masked positions' contributions
+// XORed back out — ops/nthash_ref.py:142-151).
+struct HostK {
+  int k;
+  uint64_t rotk[5];        // P^k(seed(c))
+  uint64_t rotk_comp[5];   // P^k(seed(comp c))
+};
+
+void host_fill_k(HostK& hk, int k) {
+  hk.k = k;
+  for (int c = 0; c < 5; c++) {
+    hk.rotk[c] = hsrol_n(HSEED[c], k);
+    hk.rotk_comp[c] = hsrol_n(HSEED[HCOMP[c]], k);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One batch step of the ntcard count-table sketch on the host.
+//   codes:  [rows, row_len] uint8 base codes (0..3 = ACGT, 4 = N), the raw
+//           (unpacked) StreamPacker/NativePacker batch layout
+//   stride: owned window starts per row (io/packing.aligned_stride)
+//   table:  uint16[nk][2][2^r_bits], reference layout (ntcard.cpp:437-439),
+//           updated with relaxed atomic increments (wraps mod 2^16 like the
+//           reference's uint16)
+//   f1:     int64[nk], += exact valid-window counts
+//   mask_pos/n_mask: spaced-seed masked positions (empty for plain k-mers)
+void ntcard_host_update(const uint8_t* codes, long long rows, long long row_len,
+                        long long stride, const int32_t* ks, int nk,
+                        int s_bits, int r_bits,
+                        const int32_t* mask_pos, int n_mask,
+                        uint16_t* table, long long* f1, int nthreads) {
+  const uint64_t r_buck = 1ULL << r_bits;
+  const uint64_t r_mask = r_buck - 1;
+  const uint64_t s_mask = (1ULL << (s_bits - 1)) - 1;
+  std::vector<HostK> hks(nk);
+  for (int j = 0; j < nk; j++) host_fill_k(hks[j], ks[j]);
+  // spaced-seed strip tables: per masked position p, P^(k-1-p)(seed(c)) for
+  // the forward strand and P^p(seed(comp c)) for the reverse strand
+  std::vector<uint64_t> strip_f(n_mask * 5), strip_r(n_mask * 5);
+  for (int m = 0; m < n_mask; m++) {
+    for (int c = 0; c < 5; c++) {
+      strip_f[m * 5 + c] = hsrol_n(HSEED[c], ks[0] - 1 - mask_pos[m]);
+      strip_r[m * 5 + c] = hsrol_n(HSEED[HCOMP[c]], mask_pos[m]);
+    }
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = nthreads > 0 ? nthreads : (int)(hw ? hw : 1);
+  nt = (int)std::min<long long>(nt, rows);
+  if (nt < 1) nt = 1;
+  std::vector<std::vector<long long>> f1_local(nt, std::vector<long long>(nk, 0));
+  std::vector<std::thread> threads;
+  long long rows_per = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    threads.emplace_back([&, t]() {
+      long long r0 = t * rows_per, r1 = std::min(rows, r0 + rows_per);
+      for (long long r = r0; r < r1; r++) {
+        const uint8_t* row = codes + r * row_len;
+        for (int j = 0; j < nk; j++) {
+          const HostK& hk = hks[j];
+          const int k = hk.k;
+          const long long e_end = std::min(row_len, stride + k - 1);
+          uint64_t fh = 0, rh = 0;
+          long long runlen = 0;
+          for (long long e = 0; e < e_end; e++) {
+            const int c = row[e];
+            const int out_c = (e >= k) ? row[e - k] : 4;
+            fh = hsrol1(fh) ^ HSEED[c] ^ hk.rotk[out_c];
+            rh = hsror1(rh ^ hk.rotk_comp[c] ^ HSEED[HCOMP[out_c]]);
+            runlen = (c == 4) ? 0 : runlen + 1;
+            if (e >= k - 1 && runlen >= k) {
+              // window [i, i+k) is N-free; owned iff i < stride (the loop
+              // bound already guarantees that)
+              f1_local[t][j]++;
+              uint64_t fs = fh, rs = rh;
+              if (n_mask) {
+                const long long i = e - k + 1;
+                for (int m = 0; m < n_mask; m++) {
+                  const int cp = row[i + mask_pos[m]];
+                  fs ^= strip_f[m * 5 + cp];
+                  rs ^= strip_r[m * 5 + cp];
+                }
+              }
+              const uint64_t h = fs < rs ? fs : rs;
+              // ntcard's asymmetric two-sample test (ntcard.cpp:135-139;
+              // mirrored from ops/nthash.make_sketch_emit): when both tests
+              // pass (possible at s_bits=1) the update goes to sample 1
+              const bool s1 = (h >> (64 - s_bits)) == s_mask;
+              const bool s0 = (h >> (63 - s_bits)) == 1ULL;
+              if (s0 || s1) {
+                const size_t idx =
+                    ((size_t)j * 2 + (s1 ? 1 : 0)) * r_buck + (h & r_mask);
+                __atomic_fetch_add(&table[idx], (uint16_t)1, __ATOMIC_RELAXED);
+              }
+            }
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int j = 0; j < nk; j++)
+    for (int t = 0; t < nt; t++) f1[j] += f1_local[t][j];
+}
+
+// One batch step of the nthll HyperLogLog sketch on the host.
+//   regs: uint8[2^n_bits]; register index = h & (2^n_bits - 1), value =
+//         max(old, clz64(h & ~(2^n_bits - 1))) with clz of 0 counting as 0
+//         (nthll.cpp:92-97 semantics, mirrored from ops/nthash.make_hll_emit)
+void ntcard_host_hll_update(const uint8_t* codes, long long rows,
+                            long long row_len, long long stride, int k,
+                            int n_bits, uint8_t* regs, int nthreads) {
+  const uint64_t n_buck = 1ULL << n_bits;
+  const uint64_t b_mask = n_buck - 1;
+  HostK hk;
+  host_fill_k(hk, k);
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = nthreads > 0 ? nthreads : (int)(hw ? hw : 1);
+  nt = (int)std::min<long long>(nt, rows);
+  if (nt < 1) nt = 1;
+  std::vector<std::vector<uint8_t>> local(nt);
+  std::vector<std::thread> threads;
+  long long rows_per = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    threads.emplace_back([&, t]() {
+      std::vector<uint8_t>& priv = local[t];
+      priv.assign(n_buck, 0);
+      long long r0 = t * rows_per, r1 = std::min(rows, r0 + rows_per);
+      for (long long r = r0; r < r1; r++) {
+        const uint8_t* row = codes + r * row_len;
+        const long long e_end = std::min(row_len, stride + k - 1);
+        uint64_t fh = 0, rh = 0;
+        long long runlen = 0;
+        for (long long e = 0; e < e_end; e++) {
+          const int c = row[e];
+          const int out_c = (e >= k) ? row[e - k] : 4;
+          fh = hsrol1(fh) ^ HSEED[c] ^ hk.rotk[out_c];
+          rh = hsror1(rh ^ hk.rotk_comp[c] ^ HSEED[HCOMP[out_c]]);
+          runlen = (c == 4) ? 0 : runlen + 1;
+          if (e >= k - 1 && runlen >= k) {
+            const uint64_t h = fh < rh ? fh : rh;
+            const uint64_t masked = h & ~b_mask;
+            const uint8_t run0 =
+                masked ? (uint8_t)__builtin_clzll(masked) : (uint8_t)0;
+            uint8_t& slot = priv[h & b_mask];
+            if (run0 > slot) slot = run0;
+          }
+        }
+      }
+      // thread-private sketch + max-merge: the reference's OpenMP pattern
+      // (nthll.cpp:218-245) — merge under no lock by letting only the
+      // spawning thread fold results after join (below)
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (uint64_t i = 0; i < n_buck; i++) {
+    uint8_t m = regs[i];
+    for (int t = 0; t < nt; t++)
+      if (local[t][i] > m) m = local[t][i];
+    regs[i] = m;
+  }
+}
+
+// uint16-table variant of ntcard_hist_u16 (host-engine tables are uint16
+// directly; avoids a 2x int32 blow-up of a GiB-scale table just to scan it).
+void ntcard_hist_u16_direct(const uint16_t* table, long long n,
+                            long long* out) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min(16u, hw ? hw : 1u);
+  long long chunk = (n + nt - 1) / nt;
+  std::vector<std::vector<long long>> local(nt);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++) {
+    threads.emplace_back([&, t]() {
+      std::vector<long long>& h = local[t];
+      h.assign(65536, 0);
+      long long lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (long long i = lo; i < hi; i++) h[table[i]]++;
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int v = 0; v < 65536; v++) {
+    long long s = 0;
+    for (int t = 0; t < nt; t++) s += local[t][v];
+    out[v] = s;
+  }
+}
+
+}  // extern "C"

@@ -37,6 +37,11 @@ class Metrics:
     def add(self, name: str, value: float) -> None:
         self.counters[name] = self.counters.get(name, 0.0) + value
 
+    def tag(self, name: str, value: str) -> None:
+        """Non-numeric annotation (e.g. which engine ran)."""
+        self.tags = getattr(self, "tags", {})
+        self.tags[name] = value
+
     def start_profile(self) -> None:
         if self._profile_dir and not self._profiling:
             import jax
@@ -60,6 +65,7 @@ class Metrics:
             "phases_sec": {k: round(v, 4) for k, v in self.phases.items()},
             "counters": {k: round(v, 1) for k, v in self.counters.items()},
         }
+        out.update(getattr(self, "tags", {}))
         bases = self.counters.get("bases", 0)
         reads = self.counters.get("reads", 0)
         if bases and total > 0:

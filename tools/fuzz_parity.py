@@ -157,14 +157,16 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         [str(ref_exe)] + flags + outargs("ref") + file_args,
         capture_output=True, text=True, timeout=300,
     )
-    # alternate single-device (quad wire) and 8-virtual-device (sharded,
-    # nibble wire) paths so the fuzz covers both
+    # rotate engines: single-device (quad wire), 8-virtual-device (sharded,
+    # nibble wire), and the native host engine (seed % 3 == 0)
     ndev = 1 if seed % 2 else 8
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
     )
+    if seed % 3 == 0:
+        env["NTCARD_ENGINE"] = "host"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,
@@ -213,6 +215,8 @@ def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
     )
+    if seed % 3 == 0:
+        env["NTCARD_ENGINE"] = "host"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli_hll"] + flags + [str(inp)],
         capture_output=True, text=True, timeout=600, env=env,

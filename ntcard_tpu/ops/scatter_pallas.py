@@ -177,8 +177,47 @@ def _extract_multi_full(idx_ref, w, fpos, sent, update, ways):
     jax.lax.fori_loop(0, n, body, tuple(np.int32(-1) for _ in range(ways)))
 
 
+def _extract_multi_packed2(idx_ref, w, fpos, sent, update, ways):
+    """Iterated extraction for values < 2^31 with NO serial reduction chain:
+    the value is split across two pos-keyed packed encodings,
+
+        encA = (pos << 17) | (val & 0x1FFFF)   (max 2^30 - 1)
+        encB = (pos << 14) | (val >> 17)       (max 2^27 - 1)
+
+    and extracted by two *independent* min-reductions. Window positions are
+    unique, so both mins select the same element and ordering rides on pos
+    in both; _extract_multi_full's value fetch (a second reduction
+    *dependent* on the min result) is replaced by a reduction that issues
+    in parallel with it. fpos must be < 2^13 (the [8, 1024] window flat
+    positions); the 17/14 payload split keeps every real encoding strictly
+    below the _BIG exhaustion sentinel (an 18-bit low split would make
+    pos 8191 + all-ones low bits collide with it)."""
+    rows = [idx_ref[pl.ds((w * ways + j) * 8, 8), :] for j in range(ways)]
+    encAs, encBs = [], []
+    for r in rows:
+        m = r != sent
+        encAs.append(jnp.where(m, (fpos << np.int32(17)) | (r & np.int32(0x1FFFF)), _BIG))
+        encBs.append(jnp.where(m, (fpos << np.int32(14)) | (r >> np.int32(17)), _BIG))
+    n = jnp.sum((rows[0] != sent).astype(jnp.int32))
+    for r in rows[1:]:
+        n = jnp.maximum(n, jnp.sum((r != sent).astype(jnp.int32)))
+
+    def body(_, prevs):
+        pA, pB = prevs
+        eA = [jnp.min(jnp.where(a > p, a, _BIG)) for a, p in zip(encAs, pA)]
+        eB = [jnp.min(jnp.where(b > p, b, _BIG)) for b, p in zip(encBs, pB)]
+        for a, b in zip(eA, eB):
+            val = ((b & np.int32(0x3FFF)) << np.int32(17)) | (a & np.int32(0x1FFFF))
+            update(a, val)
+        return (tuple(eA), tuple(eB))
+
+    init = tuple(np.int32(-1) for _ in range(ways))
+    jax.lax.fori_loop(0, n, body, (init, init))
+
+
 def _compact_kernel(
-    idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows, ways
+    idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows, ways,
+    extractor
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -203,7 +242,7 @@ def _compact_kernel(
             cnt_ref[0] = c + np.int32(1)
 
     def w_body(w, _):
-        _extract_multi_full(idx_ref, w, fpos, sent, update, ways)
+        extractor(idx_ref, w, fpos, sent, update, ways)
         return 0
 
     jax.lax.fori_loop(0, block_rows // (8 * ways), w_body, 0)
@@ -217,13 +256,25 @@ def _compact_kernel(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("sent", "cap", "interpret", "block_rows"))
+def compact_packed2_default() -> bool:
+    """NTCARD_COMPACT=packed2 splits the value across two independent
+    pos-keyed reductions (no serial chain per element); the default is the
+    reduce-then-fetch extraction until the A/B lands on the real chip."""
+    import os
+
+    return os.environ.get("NTCARD_COMPACT") == "packed2"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sent", "cap", "interpret", "block_rows", "packed2")
+)
 def compact_pallas(
     idx: jnp.ndarray,
     sent: int,
     cap: int,
     interpret: bool = False,
     block_rows: int = _BLOCK_ROWS,
+    packed2: bool | None = None,
 ):
     """Compact the non-sentinel elements of ``idx`` (any shape, int32 >= 0,
     ``sent`` marks "no update") into a dense int32[cap] buffer (unused tail
@@ -251,6 +302,9 @@ def compact_pallas(
             cap_rows=cap_rows,
             block_rows=block_rows,
             ways=ways,
+            extractor=_extract_multi_packed2
+            if (compact_packed2_default() if packed2 is None else packed2)
+            else _extract_multi_full,
         ),
         grid=(grid,),
         in_specs=[

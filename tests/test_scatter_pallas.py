@@ -52,6 +52,45 @@ def test_compact_matches_nonsentinel_multiset(shape):
     )
 
 
+@pytest.mark.parametrize("shape", [(16, 1024), (40, 96)])
+def test_compact_packed2_matches_full(shape):
+    """The packed2 extractor (value split across two independent pos-keyed
+    reductions) must produce the same compacted multiset as the
+    reduce-then-fetch extractor, including values near int32 max."""
+    rng = np.random.default_rng(5)
+    sent = (1 << 31) - 2  # values may use all 31 payload bits
+    n = int(np.prod(shape))
+    idx = np.full(n, sent, np.int32)
+    m = rng.random(n) < 0.01  # keep the count under cap (256)
+    idx[m] = rng.integers(0, sent, m.sum())
+    idx = idx.reshape(shape)
+    vals, cnt = compact_pallas(
+        jnp.asarray(idx), sent, 256, interpret=True, block_rows=16, packed2=True
+    )
+    vals = np.asarray(vals)
+    assert int(cnt) == m.sum()
+    np.testing.assert_array_equal(
+        np.sort(vals[vals >= 0]), np.sort(idx.ravel()[idx.ravel() != sent])
+    )
+
+
+def test_compact_packed2_full_range_edge():
+    """An element whose packed-A encoding is exactly 2^31 - 1 (window
+    position 8191, low 18 bits all ones) must survive — an ascending
+    extraction would confuse it with the exhaustion sentinel."""
+    sent = (1 << 31) - 2
+    idx = np.full((16, 1024), sent, np.int32)
+    edge = 0x3FFFF | (7 << 18)  # low 18 bits all ones
+    idx.ravel()[8191] = edge  # last position of window 0
+    idx.ravel()[0] = 5
+    vals, cnt = compact_pallas(
+        jnp.asarray(idx), sent, 256, interpret=True, block_rows=16, packed2=True
+    )
+    vals = np.asarray(vals)
+    assert int(cnt) == 2
+    np.testing.assert_array_equal(np.sort(vals[vals >= 0]), np.sort([5, edge]))
+
+
 def test_compact_overflow_reports_true_count():
     rng = np.random.default_rng(3)
     sent = 1 << 20

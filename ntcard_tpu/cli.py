@@ -220,9 +220,12 @@ def _main_host(opt, in_files, s_time) -> int:
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.host_engine import HostCountTableSketch
-    from ntcard_tpu.native import native_batches_from_files
     from ntcard_tpu.output import write_compact, write_default
-    from ntcard_tpu.pipeline import default_geometry, prefetch
+    from ntcard_tpu.pipeline import (
+        default_geometry,
+        parallel_batches_from_files,
+        prefetch,
+    )
     from ntcard_tpu.utils.metrics import Metrics
 
     ks = opt.k_list
@@ -240,11 +243,13 @@ def _main_host(opt, in_files, s_time) -> int:
     metrics = Metrics(opt.metrics)
     stats: dict = {}
     with metrics.phase("pipeline"):
-        # decode in a background thread, hash/count in the foreground — both
-        # release the GIL, so the stages genuinely overlap
+        # decode in background threads (-t fans over files, reference
+        # semantics), hash/count in the foreground — decode, pack and the C
+        # sketch update all release the GIL, so the stages genuinely overlap
         for batch in prefetch(
-            native_batches_from_files(
-                in_files, chunk_len, opt.batch_rows, kmax, stats_out=stats
+            parallel_batches_from_files(
+                in_files, chunk_len, opt.batch_rows, kmax, opt.n_thrd,
+                stats_out=stats,
             )
         ):
             with metrics.phase("pipeline.dispatch"):

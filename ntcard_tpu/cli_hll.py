@@ -33,7 +33,7 @@ Report bugs to https://github.com/bcgsc/ntCard/issues
 """
 
 
-def _main_host(args: List[str], km_len: int, n_bits: int) -> int:
+def _main_host(args: List[str], km_len: int, n_bits: int, n_thrd: int = 1) -> int:
     """Host-engine nthll: same F0 output, no device/jax involvement
     (models/host_engine.HostHllSketch; lenient sniffing + skip-on-error,
     the nthll reader contract, nthll.cpp:70-90, 225-235)."""
@@ -41,16 +41,16 @@ def _main_host(args: List[str], km_len: int, n_bits: int) -> int:
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import estimate_f0
     from ntcard_tpu.models.host_engine import HostHllSketch
-    from ntcard_tpu.native import native_batches_from_files
-    from ntcard_tpu.pipeline import default_geometry, prefetch
+    from ntcard_tpu.pipeline import default_geometry, parallel_batches_from_files, prefetch
 
     in_files = expand_file_args(args)
     chunk_len, batch_rows = default_geometry(km_len)
     stride = aligned_stride(chunk_len, km_len)
     sketch = HostHllSketch(km_len, n_bits, stride)
     for batch in prefetch(
-        native_batches_from_files(
-            in_files, chunk_len, batch_rows, km_len, lenient=True, on_error="skip"
+        parallel_batches_from_files(
+            in_files, chunk_len, batch_rows, km_len, n_thrd,
+            lenient=True, on_error="skip",
         )
     ):
         sketch.update(batch)
@@ -123,7 +123,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             thresh = int(_os.environ.get("NTCARD_HLL_HOST_MAX_BYTES", 256 << 20))
             use_host = total < thresh and host_engine_available()
     if use_host:
-        return _main_host(args, km_len, n_bits)
+        return _main_host(args, km_len, n_bits, n_thrd)
 
     import jax
 

@@ -361,14 +361,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     # stays on the nibble wire. NTCARD_WIRE=nibble opts out.
     import os as _os
 
-    from ntcard_tpu.io.packing import quad_ok, wire_mode_of
+    from ntcard_tpu.io.packing import quad2_ok, quad_ok, wire_mode_of
 
-    use_quad = (
-        _os.environ.get("NTCARD_WIRE", "quad") == "quad"
-        and (n_procs > 1 or n_dev == 1)  # per-host/single-dev private sketches
-        and quad_ok(batch_rows, chunk_len)
-    )
-    wire_fmt = "quad" if use_quad else True
+    wire_env = _os.environ.get("NTCARD_WIRE", "quad")
+    private_sketch = n_procs > 1 or n_dev == 1  # row-sharding needs nibble
+    if wire_env == "quad2" and private_sketch and quad2_ok(batch_rows, stride):
+        wire_fmt = "quad2"
+    elif wire_env in ("quad", "quad2") and private_sketch and quad_ok(batch_rows, chunk_len):
+        wire_fmt = "quad"
+    else:
+        wire_fmt = True
+    use_quad = wire_fmt in ("quad", "quad2")
+    halo = chunk_len - stride
 
     metrics = Metrics(opt.metrics)
     stats: dict = {}
@@ -385,7 +389,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             with metrics.phase("pipeline.dispatch"):
                 sketch.update(
                     batch,
-                    packed=wire_mode_of(batch, batch_rows) if use_quad else True,
+                    packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True,
                 )
     for name in ("decode", "pack", "h2d"):
         if name in stages:

@@ -166,17 +166,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         batch_rows = max(128, batch_rows // n_dev) * n_dev
     else:
         sketch = HllSketch(km_len, n_bits, stride)
-    import os as _os
+    from ntcard_tpu.io.packing import quad2_ok, quad_ok, wire_mode_of
 
-    from ntcard_tpu.io.packing import quad_ok, wire_mode_of
-
-    # 2-bit quad wire for the private-sketch paths (see cli.py); the row-
-    # sharded sketch needs the nibble wire
-    use_quad = (
-        _os.environ.get("NTCARD_WIRE", "quad") == "quad"
-        and (n_procs > 1 or n_dev == 1)
-        and quad_ok(batch_rows, chunk_len)
-    )
+    # 2-bit quad/quad2 wire for the private-sketch paths (see cli.py); the
+    # row-sharded sketch needs the nibble wire
+    wire_env = _os.environ.get("NTCARD_WIRE", "quad")
+    private_sketch = n_procs > 1 or n_dev == 1
+    if wire_env == "quad2" and private_sketch and quad2_ok(batch_rows, stride):
+        wire_fmt = "quad2"
+    elif wire_env in ("quad", "quad2") and private_sketch and quad_ok(batch_rows, chunk_len):
+        wire_fmt = "quad"
+    else:
+        wire_fmt = True
+    use_quad = wire_fmt in ("quad", "quad2")
+    halo = chunk_len - stride
     # nthll silently skips unreadable files and sniffs leniently (no error
     # path in its reader loop, nthll.cpp:70-90, 225-235). -t fans decode
     # threads over files like the reference's thread-private sketches
@@ -184,11 +187,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     for batch in device_prefetch(
         parallel_batches_from_files(
             in_files, chunk_len, batch_rows, km_len, n_thrd,
-            lenient=True, on_error="skip", wire_packed="quad" if use_quad else True,
+            lenient=True, on_error="skip", wire_packed=wire_fmt,
         ),
     ):
         sketch.update(
-            batch, packed=wire_mode_of(batch, batch_rows) if use_quad else True
+            batch, packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True
         )
     regs = merged_hll_registers(sketch) if n_procs > 1 else sketch.registers()
     if proc_id == 0:

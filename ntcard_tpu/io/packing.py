@@ -85,13 +85,19 @@ def quad_ok(batch_rows: int, chunk_len: int) -> bool:
     return (quad_delta_rows(batch_rows) * chunk_len // 2) % 128 == 0
 
 
-def wire_mode_of(wire: np.ndarray, batch_rows: int) -> str:
-    """Which wire format a packed batch is in, by row count."""
+def wire_mode_of(wire: np.ndarray, batch_rows: int, halo: int | None = None) -> str:
+    """Which wire format a packed batch is in, by row count. For quad2 the
+    caller must supply the halo width (it is not recoverable from the wire)
+    and receives the jit-static ``"quad2:<halo>"`` mode string."""
     r = wire.shape[0]
     if r == batch_rows // 2:
         return "nibble"
     if r == quad_wire_rows(batch_rows):
         return "quad"
+    if r == quad2_wire_rows(batch_rows):
+        if halo is None:
+            raise ValueError("quad2 wire needs the halo width (chunk_len - stride)")
+        return f"quad2:{halo}"
     raise ValueError(f"not a wire batch for batch_rows={batch_rows}: rows={r}")
 
 
@@ -125,6 +131,96 @@ def pack_rows_quad(batch: np.ndarray) -> Optional[np.ndarray]:
     cm = np.ascontiguousarray(stream.reshape(128, nslots // 128).T)
     tail = cm.reshape(-1).view(np.uint8).reshape(drows, L)
     return np.concatenate([w, tail], axis=0)
+
+
+# --- quad2 wire: owned-span 2-bit payload + uint8 sidecar + borrowed halo --
+#
+# The quad wire still ships every chunk's (kmax-1)-base halo (~6.7% of bytes
+# at L=1024) and a uint16 N sidecar (~5.9%). quad2 removes both: rows carry
+# ONLY their owned stride-span at 2 bits/base, and the halo is rebuilt on
+# device from the NEXT stream chunk — which is simply the next lane of the
+# same batch (chunks are consecutive stream spans). Only the last lane's
+# halo must travel: one raw-code tail row. The N sidecar entries become
+# plain stream offsets (owned spans tile the stream exactly, no halo
+# duplicates) delta-coded in uint8:
+#   0..239   advance by v from the previous N position and mark
+#   240..253 advance by (v-239)*240, no mark (gap chaining, <=3360/entry;
+#            the remainder after skips always lands back in [0, 239])
+#   254      fill: every stream position after the current one is N (the
+#            all-N pad tail of a flush batch — without this the pad Ns
+#            overflow the sidecar and the whole batch falls back to the
+#            2x-bigger nibble wire)
+#   255      pad: no advance, no mark
+# Wire: [B/4 + B/128 + 1, stride] uint8 = ~2.06 bits per owned base (vs
+# quad's ~2.27): payload rows, sidecar rows (1 slot per 128 owned bases,
+# same >=129bp-record coverage as quad), then the tail row (halo raw codes,
+# N-padded). Device inverse: ops/nthash.unpack_quad2.
+_QUAD2_MAX_DELTA = 239
+_QUAD2_SKIP_UNIT = 240
+QUAD2_FILL = 254
+QUAD2_PAD = 255
+
+
+def quad2_delta_rows(batch_rows: int) -> int:
+    return batch_rows // 128
+
+
+def quad2_wire_rows(batch_rows: int) -> int:
+    return batch_rows // 4 + quad2_delta_rows(batch_rows) + 1
+
+
+def quad2_ok(batch_rows: int, stride: int) -> bool:
+    if batch_rows % 128 or batch_rows < 256:
+        return False
+    return (quad2_delta_rows(batch_rows) * stride) % 128 == 0
+
+
+def pack_rows_quad2(batch: np.ndarray, stride: int) -> Optional[np.ndarray]:
+    """quad2-pack a [B, L] uint8 code batch (L = stride + halo) to
+    [B/4 + B/128 + 1, stride], or None when the geometry is inadmissible or
+    the N count overflows the sidecar slots (callers then fall back)."""
+    B, L = batch.shape
+    S = stride
+    halo = L - S
+    if halo < 1 or halo > S or not quad2_ok(B, S):
+        return None
+    g = B // 4
+    drows = quad2_delta_rows(B)
+    nslots = drows * S
+    own = batch[:, :S]
+    pos = np.flatnonzero(own == N)
+    fill = False
+    if len(pos) and pos[-1] == B * S - 1:
+        # all-N suffix (flush-batch padding): mark its first N normally,
+        # then one fill entry covers the rest
+        nz = np.flatnonzero(own != N)
+        q = int(nz[-1]) if len(nz) else -1
+        pos = np.concatenate([pos[pos <= q], [q + 1]])
+        fill = True
+    stream_entries = []
+    prev = 0
+    for p in pos:
+        dd = int(p) - prev
+        while dd > _QUAD2_MAX_DELTA:
+            u = min(14, dd // _QUAD2_SKIP_UNIT)  # dd >= 240 => u >= 1; 253 max code
+            stream_entries.append(_QUAD2_MAX_DELTA + u)
+            dd -= u * _QUAD2_SKIP_UNIT
+        stream_entries.append(dd)
+        prev = int(p)
+    if fill:
+        stream_entries.append(QUAD2_FILL)
+    if len(stream_entries) > nslots:
+        return None
+    stream = np.full(nslots, QUAD2_PAD, np.uint8)
+    stream[: len(stream_entries)] = np.asarray(stream_entries, np.uint8)
+    q = np.where(own == N, 0, own).astype(np.uint8)
+    w = q[:g] | (q[g : 2 * g] << 2) | (q[2 * g : 3 * g] << 4) | (q[3 * g :] << 6)
+    # column-major over the device's [nslots/128, 128] view
+    cm = np.ascontiguousarray(stream.reshape(128, nslots // 128).T)
+    tail_rows = cm.reshape(drows, S)
+    halo_row = np.full((1, S), N, np.uint8)
+    halo_row[0, :halo] = batch[B - 1, S:]
+    return np.concatenate([w, tail_rows, halo_row], axis=0)
 
 
 def aligned_stride(chunk_len: int, kmax: int) -> int:

@@ -197,7 +197,11 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     transpose back to row-major)."""
     from ntcard_tpu.ops.nthash_pallas import sketch_idx_pallas
 
-    if packed == "quad":
+    if isinstance(packed, str) and packed.startswith("quad2"):
+        from ntcard_tpu.ops.nthash import _codes_T
+
+        codes = _codes_T(codes, packed).T
+    elif packed == "quad":
         from ntcard_tpu.ops.nthash import unpack_quad
 
         codes = unpack_quad(codes).T

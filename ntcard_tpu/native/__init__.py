@@ -77,6 +77,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.packer_pop_packed.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.packer_pop_quad.restype = ctypes.c_int
     lib.packer_pop_quad.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.packer_pop_quad2.restype = ctypes.c_int
+    lib.packer_pop_quad2.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.packer_stats.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_longlong),
@@ -268,8 +270,29 @@ class NativePacker:
             self._h = None
 
     def _pop_all(self) -> Iterator[np.ndarray]:
-        from ntcard_tpu.io.packing import quad_ok, quad_wire_rows
+        from ntcard_tpu.io.packing import (
+            quad2_ok,
+            quad2_wire_rows,
+            quad_ok,
+            quad_wire_rows,
+        )
 
+        if self.wire_packed == "quad2" and quad2_ok(self.batch_rows, self.stride):
+            q2rows = quad2_wire_rows(self.batch_rows)
+            nrows = self.batch_rows // 2
+            while True:
+                out = np.empty((q2rows, self.stride), np.uint8)
+                r = self._lib.packer_pop_quad2(self._h, out.ctypes.data_as(ctypes.c_void_p))
+                if r == 0:
+                    return
+                if r < 0:  # sidecar overflow: same batch, nibble wire
+                    out = np.empty((nrows, self.chunk_len), np.uint8)
+                    if not self._lib.packer_pop_packed(
+                        self._h, out.ctypes.data_as(ctypes.c_void_p)
+                    ):
+                        return
+                yield out
+            return
         quad = self.wire_packed == "quad" and quad_ok(self.batch_rows, self.chunk_len)
         if quad:
             qrows = quad_wire_rows(self.batch_rows)

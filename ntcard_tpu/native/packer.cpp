@@ -224,6 +224,97 @@ struct Packer {
     return 1;
   }
 
+  // compose one ready batch in the quad2 wire format (io/packing.
+  // pack_rows_quad2): [B/4 + B/128 + 1, stride] — owned spans only at
+  // 2 bits/base (the halo is rebuilt on device from the next lane; one
+  // raw-code tail row carries the last lane's halo), with a uint8 delta
+  // sidecar of the N stream offsets (0..239 advance+mark, 240..253 advance
+  // (v-239)*240 no-mark, 254 everything-after-is-N, 255 pad; column-major
+  // over the device's [nslots/128, 128] view). Returns 1 on success, 0 if
+  // no batch is ready, -1 on sidecar overflow/inadmissible geometry (the
+  // stream buffer is left untouched for a nibble re-pop).
+  int pop_batch_quad2(uint8_t* out) {
+    if (ready_count() == 0) return 0;
+    if (batch_rows % 128 || batch_rows < 256) return -1;
+    const int g = batch_rows / 4;
+    const int drows = batch_rows / 128;
+    const int halo = chunk_len - stride;
+    if (halo < 1 || halo > stride) return -1;
+    const size_t nslots = (size_t)drows * stride;
+    if (nslots % 128) return -1;
+    const size_t nr = nslots / 128;
+    const uint8_t* b = buf.data();
+    const size_t span = (size_t)batch_rows * stride;
+
+    // pass 1: sidecar (N stream offsets, strictly increasing). The owned
+    // spans tile the stream exactly, so offsets are plain buffer offsets.
+    uint8_t* tail = out + (size_t)g * stride;
+    size_t si = 0;
+    auto emit = [&](uint8_t v) {
+      size_t slot = (si % nr) * 128 + (si / nr);
+      tail[slot] = v;
+      si++;
+    };
+    // all-N suffix (flush padding): one fill entry instead of per-N marks
+    size_t data_end = span;  // first index of the trailing all-N run
+    while (data_end > 0 && b[data_end - 1] == 4) data_end--;
+    long long prev = 0;
+    for (size_t j = 0; j < (data_end < span ? data_end + 1 : span); j++) {
+      if (b[j] != 4) continue;
+      long long d = (long long)j - prev;
+      while (d > 239) {
+        long long u = d / 240;
+        if (u > 14) u = 14;
+        if (si >= nslots) return -1;
+        emit((uint8_t)(239 + u));
+        d -= u * 240;
+      }
+      if (si >= nslots) return -1;
+      emit((uint8_t)d);
+      prev = (long long)j;
+    }
+    if (data_end < span) {  // emit the fill marker after the suffix's first N
+      if (si >= nslots) return -1;
+      emit(254);
+    }
+    for (size_t i = si; i < nslots; i++) {
+      size_t slot = (i % nr) * 128 + (i / nr);
+      tail[slot] = 255;
+    }
+
+    // pass 2: 2-bit owned spans (N -> 0)
+    const size_t qoff = (size_t)g * stride;
+    for (int r = 0; r < g; r++) {
+      const uint8_t* c0 = b + (size_t)r * stride;
+      const uint8_t* c1 = c0 + qoff;
+      const uint8_t* c2 = c1 + qoff;
+      const uint8_t* c3 = c2 + qoff;
+      uint8_t* dst = out + (size_t)r * stride;
+      for (int j = 0; j < stride; j++) {
+        uint8_t v0 = c0[j] == 4 ? 0 : c0[j];
+        uint8_t v1 = c1[j] == 4 ? 0 : c1[j];
+        uint8_t v2 = c2[j] == 4 ? 0 : c2[j];
+        uint8_t v3 = c3[j] == 4 ? 0 : c3[j];
+        dst[j] = (uint8_t)(v0 | (v1 << 2) | (v2 << 4) | (v3 << 6));
+      }
+    }
+
+    // pass 3: tail row — the last lane's halo as raw codes, N-padded
+    uint8_t* trow = out + ((size_t)g + drows) * stride;
+    memcpy(trow, b + span, halo);
+    memset(trow + halo, 4, stride - halo);
+
+    // success: consume the batch from the stream buffer
+    size_t rest = n + pend - batch_span;
+    memmove(buf.data(), buf.data() + batch_span, rest);
+    n -= batch_span;
+    if (flushed && ready_count() == 0) {
+      n = 0;
+      flushed = false;
+    }
+    return 1;
+  }
+
   static bool is_number(const std::string& t) {
     if (t.empty()) return false;
     for (char c : t)
@@ -486,6 +577,14 @@ int packer_pop_packed(void* h, uint8_t* out) {
 // same batch with packer_pop_packed instead)
 int packer_pop_quad(void* h, uint8_t* out) {
   return ((Packer*)h)->pop_batch_quad(out);
+}
+
+// pop one ready batch in the quad2 wire format
+// ((batch_rows/4 + batch_rows/128 + 1)*stride bytes, io/packing.
+// pack_rows_quad2 layout); 1 on success, 0 if not ready, -1 on sidecar
+// overflow (pop the same batch with packer_pop_packed instead)
+int packer_pop_quad2(void* h, uint8_t* out) {
+  return ((Packer*)h)->pop_batch_quad2(out);
 }
 
 void packer_stats(void* h, long long* records, long long* bases) {

@@ -144,10 +144,65 @@ def unpack_quad(wire: jnp.ndarray) -> jnp.ndarray:
     return cT.at[li.reshape(-1), bi.reshape(-1)].set(np.uint8(N_CODE), mode="drop")
 
 
+def unpack_quad2(wire: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Device-side inverse of io.packing.pack_rows_quad2: [B/4 + B/128 + 1,
+    S] uint8 quad2 wire -> [S + halo, B] transposed code stream, bit-
+    identical to what the quad/nibble paths produce for the same stream.
+
+    Three parts: a 2-bit unpack of the owned spans (N sent as 0), the uint8
+    delta sidecar decoded to stream offsets (per-column cumsum + lane
+    prefix, io/packing.py quad2 spec) restored by one scatter-set, and the
+    halo rebuilt from the data already on device — chunk b's halo is the
+    head of chunk b+1, i.e. the NEXT LANE of the same batch; only the last
+    lane's halo travels, as the raw-code tail row. ~2.06 bits per owned
+    base on the wire (quad: ~2.27)."""
+    R, S = wire.shape
+    B = (R - 1) * 128 // 33  # R = B/4 + B/128 + 1
+    g = B // 4
+    drows = B // 128
+    p = wire[:g].T  # [S, B/4]
+    three = np.uint8(3)
+    cT = jnp.concatenate(
+        [p & three, (p >> 2) & three, (p >> 4) & three, (p >> 6) & three], axis=1
+    )  # [S, B] owned spans
+    # sidecar: uint8 entries, stream runs down the columns of [nslots/128, 128]
+    nslots = drows * S
+    A = wire[g : g + drows].reshape(-1).astype(jnp.int32).reshape(-1, 128)
+    is_mark = A <= np.int32(239)
+    adv = jnp.where(
+        is_mark,
+        A,
+        jnp.where(A >= np.int32(254), np.int32(0), (A - np.int32(239)) * np.int32(240)),
+    )
+    colsum = jnp.cumsum(adv, axis=0)
+    totals = colsum[-1]
+    offs = jnp.cumsum(totals) - totals  # exclusive lane prefix
+    pos = colsum + offs[None, :]
+    # owned-stream offset -> (sublane j = pos % S, lane b = pos // S)
+    ji = jnp.where(is_mark, pos % np.int32(S), np.int32(S))  # S = out of bounds
+    bi = pos // np.int32(S)
+    cT = cT.at[ji.reshape(-1), bi.reshape(-1)].set(np.uint8(N_CODE), mode="drop")
+    # fill entry (254): every stream position after it is N (the all-N pad
+    # tail of a flush batch; packing.py quad2 spec)
+    fill_from = jnp.min(jnp.where(A == np.int32(254), pos, np.int32(0x7FFFFFFF)))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
+    flat = lane * np.int32(S) + sub
+    cT = jnp.where(flat > fill_from, np.uint8(N_CODE), cT)
+    # halo: chunk b's bases [S, S+halo) = chunk b+1's bases [0, halo) -> one
+    # lane rotation of the head rows, with the wire tail row fixing lane B-1
+    head = cT[:halo]  # [halo, B] (after N restore)
+    tail = wire[g + drows, :halo].reshape(halo, 1)  # raw codes incl. N
+    shifted = jnp.concatenate([head[:, 1:], tail], axis=1)
+    return jnp.concatenate([cT, shifted], axis=0)  # [S + halo, B]
+
+
 def _codes_T(codes: jnp.ndarray, packed) -> jnp.ndarray:
     """[*, L] wire/code batch -> [L, B] transposed code stream. ``packed``:
     False = raw [B, L] codes, True/"nibble" = nibble wire, "quad" = quad
-    wire."""
+    wire, "quad2:<halo>" = owned-span quad2 wire."""
+    if isinstance(packed, str) and packed.startswith("quad2:"):
+        return unpack_quad2(codes, int(packed.split(":", 1)[1]))
     if packed == "quad":
         return unpack_quad(codes)
     if packed:

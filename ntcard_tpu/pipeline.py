@@ -89,15 +89,18 @@ def batches_from_files(
                 on_error=on_error, stats_out=stats_out, wire_packed=wire_packed,
             )
             return
-    from ntcard_tpu.io.packing import pack_rows, pack_rows_quad
+    from ntcard_tpu.io.packing import pack_rows, pack_rows_quad, pack_rows_quad2
+
+    packer = StreamPacker(chunk_len, batch_rows, kmax)
 
     def wire(b):
+        if wire_packed == "quad2":
+            w = pack_rows_quad2(b, packer.stride)
+            return w if w is not None else pack_rows(b)
         if wire_packed == "quad":
             w = pack_rows_quad(b)
             return w if w is not None else pack_rows(b)
         return pack_rows(b) if wire_packed else b
-
-    packer = StreamPacker(chunk_len, batch_rows, kmax)
     recs = records if records is not None else iter_file_records(paths, lenient, on_error)
     for rec in recs:
         for b in packer.feed(rec):

@@ -167,6 +167,8 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
     )
     if seed % 3 == 0:
         env["NTCARD_ENGINE"] = "host"
+    if seed % 5 == 0:
+        env["NTCARD_WIRE"] = "quad2"  # owned-span wire (no-op for sharded/host)
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,
@@ -217,6 +219,8 @@ def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
     )
     if seed % 3 == 0:
         env["NTCARD_ENGINE"] = "host"
+    if seed % 5 == 0:
+        env["NTCARD_WIRE"] = "quad2"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli_hll"] + flags + [str(inp)],
         capture_output=True, text=True, timeout=600, env=env,

@@ -94,6 +94,10 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
 
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
+    # wire format A/B knob (NTCARD_WIRE=quad|quad2|nibble); default quad
+    wire = os.environ.get("NTCARD_WIRE", "quad")
+    wire_fmt = wire if wire in ("quad", "quad2") else True
+    halo = chunk_len - stride
 
     def run(limit: int | None = None) -> tuple[float, dict]:
         import itertools
@@ -103,14 +107,19 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         t0 = time.perf_counter()
         t_disp = 0.0
         batches = device_prefetch(
-            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed="quad"),
+            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=wire_fmt),
             stage_times=stages,
         )
         if limit is not None:
             batches = itertools.islice(batches, limit)
         for batch in batches:
             td = time.perf_counter()
-            sketch.update(batch, packed=wire_mode_of(batch, batch_rows))
+            sketch.update(
+                batch,
+                packed=wire_mode_of(batch, batch_rows, halo)
+                if wire_fmt in ("quad", "quad2")
+                else True,
+            )
             t_disp += time.perf_counter() - td
         tf = time.perf_counter()
         state = sketch.finalize(cov_max=64)

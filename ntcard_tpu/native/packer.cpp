@@ -762,38 +762,49 @@ void ntcard_host_update(const uint8_t* codes, long long rows, long long row_len,
           const long long e_end = std::min(row_len, stride + k - 1);
           uint64_t fh = 0, rh = 0;
           long long runlen = 0;
-          for (long long e = 0; e < e_end; e++) {
+          long long f1j = 0;  // register-resident F1 (hot per-window path)
+          // ntcard's asymmetric two-sample test (ntcard.cpp:135-139;
+          // mirrored from ops/nthash.make_sketch_emit): when both tests
+          // pass (possible at s_bits=1) the update goes to sample 1
+          auto emit = [&](long long e) {
+            f1j++;
+            uint64_t fs = fh, rs = rh;
+            if (n_mask) {
+              const long long i = e - k + 1;
+              for (int m = 0; m < n_mask; m++) {
+                const int cp = row[i + mask_pos[m]];
+                fs ^= strip_f[m * 5 + cp];
+                rs ^= strip_r[m * 5 + cp];
+              }
+            }
+            const uint64_t h = fs < rs ? fs : rs;
+            const bool s1 = (h >> (64 - s_bits)) == s_mask;
+            const bool s0 = (h >> (63 - s_bits)) == 1ULL;
+            if (s0 || s1) {
+              const size_t idx =
+                  ((size_t)j * 2 + (s1 ? 1 : 0)) * r_buck + (h & r_mask);
+              __atomic_fetch_add(&table[idx], (uint16_t)1, __ATOMIC_RELAXED);
+            }
+          };
+          // warmup: no base leaves the window yet (rot/seed of N are 0)
+          const long long warm = std::min((long long)k, e_end);
+          for (long long e = 0; e < warm; e++) {
             const int c = row[e];
-            const int out_c = (e >= k) ? row[e - k] : 4;
+            fh = hsrol1(fh) ^ HSEED[c];
+            rh = hsror1(rh ^ hk.rotk_comp[c]);
+            runlen = (c == 4) ? 0 : runlen + 1;
+            if (e == k - 1 && runlen >= k) emit(e);
+          }
+          // steady state: every e has an outgoing base and e >= k - 1
+          for (long long e = warm; e < e_end; e++) {
+            const int c = row[e];
+            const int out_c = row[e - k];
             fh = hsrol1(fh) ^ HSEED[c] ^ hk.rotk[out_c];
             rh = hsror1(rh ^ hk.rotk_comp[c] ^ HSEED[HCOMP[out_c]]);
             runlen = (c == 4) ? 0 : runlen + 1;
-            if (e >= k - 1 && runlen >= k) {
-              // window [i, i+k) is N-free; owned iff i < stride (the loop
-              // bound already guarantees that)
-              f1_local[t][j]++;
-              uint64_t fs = fh, rs = rh;
-              if (n_mask) {
-                const long long i = e - k + 1;
-                for (int m = 0; m < n_mask; m++) {
-                  const int cp = row[i + mask_pos[m]];
-                  fs ^= strip_f[m * 5 + cp];
-                  rs ^= strip_r[m * 5 + cp];
-                }
-              }
-              const uint64_t h = fs < rs ? fs : rs;
-              // ntcard's asymmetric two-sample test (ntcard.cpp:135-139;
-              // mirrored from ops/nthash.make_sketch_emit): when both tests
-              // pass (possible at s_bits=1) the update goes to sample 1
-              const bool s1 = (h >> (64 - s_bits)) == s_mask;
-              const bool s0 = (h >> (63 - s_bits)) == 1ULL;
-              if (s0 || s1) {
-                const size_t idx =
-                    ((size_t)j * 2 + (s1 ? 1 : 0)) * r_buck + (h & r_mask);
-                __atomic_fetch_add(&table[idx], (uint16_t)1, __ATOMIC_RELAXED);
-              }
-            }
+            if (runlen >= k) emit(e);
           }
+          f1_local[t][j] += f1j;
         }
       }
     });

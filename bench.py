@@ -90,7 +90,7 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     from ntcard_tpu.io.packing import StreamPacker, aligned_stride, wire_mode_of
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
-    from ntcard_tpu.pipeline import batches_from_files, device_prefetch
+    from ntcard_tpu.pipeline import batches_from_files, device_prefetch, superbatch
 
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
@@ -98,6 +98,8 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     wire = os.environ.get("NTCARD_WIRE", "quad")
     wire_fmt = wire if wire in ("quad", "quad2") else True
     halo = chunk_len - stride
+    # superbatch A/B knob: fold n wire batches per dispatch (pipeline.superbatch)
+    n_super = int(os.environ.get("NTCARD_SUPERBATCH", "1"))
 
     def run(limit: int | None = None) -> tuple[float, dict]:
         import itertools
@@ -107,16 +109,20 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         t0 = time.perf_counter()
         t_disp = 0.0
         batches = device_prefetch(
-            batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=wire_fmt),
+            superbatch(
+                batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=wire_fmt),
+                n_super,
+            ),
             stage_times=stages,
         )
         if limit is not None:
             batches = itertools.islice(batches, limit)
         for batch in batches:
             td = time.perf_counter()
+            wire0 = batch if batch.ndim == 2 else batch[0]
             sketch.update(
                 batch,
-                packed=wire_mode_of(batch, batch_rows, halo)
+                packed=wire_mode_of(wire0, batch_rows, halo)
                 if wire_fmt in ("quad", "quad2")
                 else True,
             )

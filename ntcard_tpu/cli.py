@@ -304,6 +304,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         default_geometry,
         device_prefetch,
         parallel_batches_from_files,
+        superbatch,
     )
     from ntcard_tpu.parallel.multihost import (
         host_file_assignment,
@@ -373,6 +374,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         wire_fmt = True
     use_quad = wire_fmt in ("quad", "quad2")
     halo = chunk_len - stride
+    # NTCARD_SUPERBATCH=n: fold n wire batches per dispatch with an on-device
+    # scan (one put + one dispatch amortize per-call fixed costs); the
+    # row-sharded sketch splits single batches and does not take stacks
+    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1")) if private_sketch else 1
 
     metrics = Metrics(opt.metrics)
     stats: dict = {}
@@ -380,16 +385,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     metrics.start_profile()
     with metrics.phase("pipeline"):
         for batch in device_prefetch(
-            parallel_batches_from_files(
-                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
-                wire_packed=wire_fmt,
+            superbatch(
+                parallel_batches_from_files(
+                    in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+                    wire_packed=wire_fmt,
+                ),
+                n_super,
             ),
             stage_times=stages if metrics.enabled else None,
         ):
             with metrics.phase("pipeline.dispatch"):
+                wire0 = batch if batch.ndim == 2 else batch[0]
                 sketch.update(
                     batch,
-                    packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True,
+                    packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
                 )
     for name in ("decode", "pack", "h2d"):
         if name in stages:

@@ -153,12 +153,7 @@ def _tables_add_combined(tables, idx_list, r_bits):
     return jax.lax.cond(cnt <= np.int32(cap), sparse, fallback, tables)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
-    donate_argnums=(0, 1),
-)
-def _update(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False):
+def _update_impl(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False):
     """One batch step: tables [nK, 2*rbuck+1] int32; f1s [nK, 2] uint32
     (hi, lo) exact 64-bit F1 accumulators.
 
@@ -226,6 +221,33 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))
     return jnp.stack(new_tables), jnp.stack(new_f1s)
+
+
+_update = partial(
+    jax.jit,
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0, 1),
+)(_update_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0, 1),
+)
+def _update_stack(tables, f1s, stack, ks, stride, s_bits, r_bits, mask_positions, packed=False):
+    """Super-batch step: fold a [n, rows, width] stack of same-format wire
+    batches with an on-device lax.scan — ONE host->device put and ONE
+    dispatch amortize the tunneled runtime's per-call fixed costs over n
+    batches. Bit-identical to n single _update calls (the same fold body
+    applied in the same order)."""
+
+    def body(carry, codes):
+        t, f = carry
+        return _update_impl(t, f, codes, ks, stride, s_bits, r_bits, mask_positions, packed), None
+
+    (tables, f1s), _ = jax.lax.scan(body, (tables, f1s), stack)
+    return tables, f1s
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -391,9 +413,11 @@ class CountTableSketch:
         ]
 
     def update(self, codes: np.ndarray, packed: bool = False) -> None:
-        """codes: [B, L] uint8, or a [B/2, L] io.packing.pack_rows batch
-        when ``packed`` (the pipeline's H2D-halving wire format)."""
-        self.tables, self.f1s = _update(
+        """codes: [B, L] uint8, or a wire batch when ``packed`` (see
+        io/packing.py) — or a [n, rows, width] stack of same-format wire
+        batches (pipeline superbatching), folded by one scanning dispatch."""
+        fn = _update_stack if codes.ndim == 3 else _update
+        self.tables, self.f1s = fn(
             self.tables,
             self.f1s,
             codes,

@@ -192,6 +192,38 @@ def parallel_batches_from_files(
         raise errs[0]
 
 
+def superbatch(iterator: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
+    """Group consecutive same-shape wire batches into [n, rows, width] stacks
+    (models/sketch._update_stack folds a stack with one on-device scan) —
+    one device_put + one dispatch RPC then amortize the tunneled runtime's
+    per-call fixed costs over n batches.
+
+    Same shape implies same wire format (nibble/quad/quad2 row counts are
+    pairwise distinct for any admissible geometry), so a stack is always
+    format-homogeneous; a mid-stream format change (e.g. quad's per-batch
+    nibble fallback on N overflow) and the stream tail flush as single 2-D
+    batches — only two jit signatures ever exist (the stack and the single),
+    regardless of where the stream cuts."""
+    if n <= 1:
+        yield from iterator
+        return
+    pending: list = []
+
+    def flush_singles():
+        for b in pending:
+            yield b
+        pending.clear()
+
+    for b in iterator:
+        if pending and b.shape != pending[0].shape:
+            yield from flush_singles()
+        pending.append(b)
+        if len(pending) == n:
+            yield np.stack(pending)
+            pending.clear()
+    yield from flush_singles()
+
+
 def device_prefetch(
     iterator: Iterable,
     depth: int = 3,

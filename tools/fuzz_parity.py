@@ -169,6 +169,8 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         env["NTCARD_ENGINE"] = "host"
     if seed % 5 == 0:
         env["NTCARD_WIRE"] = "quad2"  # owned-span wire (no-op for sharded/host)
+    if seed % 7 < 2:
+        env["NTCARD_SUPERBATCH"] = "3"  # scanned stack dispatch (no-op sharded)
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,

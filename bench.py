@@ -154,6 +154,54 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     return N_READS / best, phases
 
 
+def _device_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the accelerator in a subprocess (a dead tunnel hangs device
+    calls indefinitely — they cannot be interrupted in-process)."""
+    plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+    if plat in ("", "cpu"):
+        return True  # CPU backend: nothing to probe
+    code = (
+        "import jax, numpy as np\n"
+        "x = jax.device_put(np.arange(8, dtype=np.int32))\n"
+        "print(int(np.asarray(x.sum())))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return r.returncode == 0
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def measure_host_fallback(fq: Path) -> tuple[float, dict]:
+    """Device unreachable: measure the framework's native host engine
+    (models/host_engine.py) instead of emitting a zero — the CLI's
+    NTCARD_ENGINE=auto would route to it in this situation too. The result
+    is labeled so the recorded line cannot be mistaken for a TPU number."""
+    from ntcard_tpu.io.packing import aligned_stride
+    from ntcard_tpu.models.estimate import comp_est_hist
+    from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
+    from ntcard_tpu.pipeline import batches_from_files, prefetch
+
+    if not host_engine_available():
+        return 0.0, {"error": "device unreachable and host engine unavailable"}
+    chunk_len, batch_rows = 1024, 8192
+    stride = aligned_stride(chunk_len, K)
+
+    def run() -> float:
+        sketch = HostCountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
+        t0 = time.perf_counter()
+        for batch in prefetch(batches_from_files([str(fq)], chunk_len, batch_rows, K)):
+            sketch.update(batch)
+        state = sketch.finalize(cov_max=64)
+        comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
+        return time.perf_counter() - t0
+
+    best = min(run() for _ in range(3))
+    return N_READS / best, {"platform": "host-engine-fallback (device unreachable)"}
+
+
 def _arm_watchdog(seconds: float, ref_rps: float) -> None:
     """The tunneled TPU occasionally wedges for tens of minutes (a hung
     device call cannot be interrupted); emit an honest zero-valued metric
@@ -187,7 +235,10 @@ def main() -> int:
     fq = ensure_data()
     ref_rps = measure_reference(fq)
     _arm_watchdog(float(os.environ.get("NTCARD_BENCH_DEADLINE", 540)), ref_rps)
-    ours_rps, phases = measure_ours(fq)
+    if _device_alive():
+        ours_rps, phases = measure_ours(fq)
+    else:
+        ours_rps, phases = measure_host_fallback(fq)
     vs = (ours_rps / ref_rps) if ref_rps > 0 else 0.0
     print(
         json.dumps(

@@ -101,22 +101,52 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     # superbatch A/B knob: fold n wire batches per dispatch (pipeline.superbatch)
     n_super = int(os.environ.get("NTCARD_SUPERBATCH", "1"))
 
-    def run(limit: int | None = None) -> tuple[float, dict]:
+    # NTCARD_ENGINE=hybrid: work-steal raw batches between the native host
+    # engine and the device pipeline (pipeline.hybrid_feed), merge at
+    # finalize — bit-identical by commutativity, tested in test_hybrid.py
+    hybrid = os.environ.get("NTCARD_ENGINE") == "hybrid"
+    if hybrid:
+        from ntcard_tpu.io.packing import pack_wire
+        from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
+        from ntcard_tpu.pipeline import hybrid_feed
+
+        hybrid = host_engine_available()
+
+    def run(limit: int | None = None, use_hybrid: bool | None = None) -> tuple[float, dict]:
         import itertools
 
+        if use_hybrid is None:
+            use_hybrid = hybrid
         sketch = ChainedCountTableSketch((K,), s_bits=7, r_bits=R_BITS, stride=stride)
+        host_sketch = None
         stages: dict = {}
         t0 = time.perf_counter()
         t_disp = 0.0
+        if use_hybrid:
+            host_sketch = HostCountTableSketch(
+                (K,), s_bits=7, r_bits=R_BITS, stride=stride,
+                n_threads=max(1, (os.cpu_count() or 2) - 2),
+            )
+            raw = batches_from_files([str(fq)], chunk_len, batch_rows, K)
+            if limit is not None:
+                # bound the RAW stream (not the device side): an abandoned
+                # hybrid generator would leave host workers draining the
+                # whole file underneath the next timed pass
+                raw = itertools.islice(raw, limit)
+            upstream = (
+                pack_wire(b, wire_fmt, stride)
+                for b in hybrid_feed(raw, host_sketch.update)
+            )
+        else:
+            upstream = batches_from_files(
+                [str(fq)], chunk_len, batch_rows, K, wire_packed=wire_fmt
+            )
+            if limit is not None:
+                upstream = itertools.islice(upstream, limit)
         batches = device_prefetch(
-            superbatch(
-                batches_from_files([str(fq)], chunk_len, batch_rows, K, wire_packed=wire_fmt),
-                n_super,
-            ),
+            superbatch(upstream, n_super),
             stage_times=stages,
         )
-        if limit is not None:
-            batches = itertools.islice(batches, limit)
         for batch in batches:
             td = time.perf_counter()
             wire0 = batch if batch.ndim == 2 else batch[0]
@@ -128,6 +158,8 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
             )
             t_disp += time.perf_counter() - td
         tf = time.perf_counter()
+        if host_sketch is not None:
+            sketch.merge_host_(host_sketch)
         state = sketch.finalize(cov_max=64)
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
         t1 = time.perf_counter()
@@ -136,7 +168,14 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         stages["total"] = t1 - t0
         return t1 - t0, stages
 
-    run(limit=2)  # warmup: jit compiles + file cache on a 2-batch slice
+    # warmup: jit compiles + file cache; with superbatching the slice must
+    # cover one full stack plus a tail single so both programs compile here.
+    # Device-only first (hybrid would let the host engine steal the slice
+    # before the device programs compile), then a tiny hybrid pass for the
+    # merge program.
+    run(limit=max(2, n_super + 1), use_hybrid=False)
+    if hybrid:
+        run(limit=2)
     # best-of-up-to-5: the tunneled link's throughput swings >2x on ~minute
     # scales; the best pass is the reproducible machine capability. A wall
     # budget bounds the total so a bad-weather hour still emits the metric

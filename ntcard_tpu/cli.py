@@ -379,19 +379,55 @@ def main(argv: Optional[List[str]] = None) -> int:
     # row-sharded sketch splits single batches and does not take stacks
     n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1")) if private_sketch else 1
 
+    # NTCARD_ENGINE=hybrid: work-steal the raw batch stream between the
+    # native host engine and the device pipeline (pipeline.hybrid_feed) and
+    # sum the two commutative sketches at finalize — bit-identical to either
+    # engine alone. Gated on the host table being cheap to ship for the
+    # merge (uint16 tables ride one H2D put; GiB-scale default-r27 tables
+    # would not), on a private (non-sharded, single-host) sketch, and on
+    # the native engine actually being available.
+    host_sketch = None
+    host_table_bytes = len(ks) * 2 * (1 << opt.r_bits) * 2
+    if (
+        _os.environ.get("NTCARD_ENGINE") == "hybrid"
+        and private_sketch
+        and n_procs == 1
+        and host_table_bytes <= int(_os.environ.get("NTCARD_HYBRID_MAX_TABLE", 64 << 20))
+    ):
+        from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
+
+        if host_engine_available():
+            host_sketch = HostCountTableSketch(
+                ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions,
+                n_threads=int(
+                    _os.environ.get("NTCARD_HYBRID_HOST_THREADS", "0")
+                ) or max(1, (_os.cpu_count() or 2) - 2),
+            )
+
     metrics = Metrics(opt.metrics)
     stats: dict = {}
     stages: dict = {}
     metrics.start_profile()
     with metrics.phase("pipeline"):
+        if host_sketch is not None:
+            from ntcard_tpu.io.packing import pack_wire
+            from ntcard_tpu.pipeline import hybrid_feed
+
+            raw = parallel_batches_from_files(
+                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+                wire_packed=False,
+            )
+            batches = (
+                pack_wire(b, wire_fmt, stride)
+                for b in hybrid_feed(raw, host_sketch.update)
+            )
+        else:
+            batches = parallel_batches_from_files(
+                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+                wire_packed=wire_fmt,
+            )
         for batch in device_prefetch(
-            superbatch(
-                parallel_batches_from_files(
-                    in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
-                    wire_packed=wire_fmt,
-                ),
-                n_super,
-            ),
+            superbatch(batches, n_super),
             stage_times=stages if metrics.enabled else None,
         ):
             with metrics.phase("pipeline.dispatch"):
@@ -400,6 +436,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     batch,
                     packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
                 )
+        if host_sketch is not None:
+            sketch.merge_host_(host_sketch)
+            metrics.tag("engine", "hybrid")
     for name in ("decode", "pack", "h2d"):
         if name in stages:
             metrics.phases[f"pipeline.{name}"] = stages[name]

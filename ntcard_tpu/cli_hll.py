@@ -180,20 +180,47 @@ def main(argv: Optional[List[str]] = None) -> int:
         wire_fmt = True
     use_quad = wire_fmt in ("quad", "quad2")
     halo = chunk_len - stride
+    # NTCARD_ENGINE=hybrid: work-steal raw batches between the native host
+    # HLL engine and the device (pipeline.hybrid_feed); registers max-merge
+    # at the end, so any split is bit-identical (see cli.py / test_hybrid)
+    host_sketch = None
+    if eng == "hybrid" and private_sketch and n_procs == 1:
+        from ntcard_tpu.models.host_engine import HostHllSketch, host_engine_available
+
+        if host_engine_available():
+            host_sketch = HostHllSketch(
+                km_len, n_bits, stride,
+                n_threads=max(1, (_os.cpu_count() or 2) - 2),
+            )
     # nthll silently skips unreadable files and sniffs leniently (no error
     # path in its reader loop, nthll.cpp:70-90, 225-235). -t fans decode
     # threads over files like the reference's thread-private sketches
     # (nthll.cpp:218-245) — batch order is irrelevant, max-merge commutes.
-    for batch in device_prefetch(
-        parallel_batches_from_files(
+    if host_sketch is not None:
+        from ntcard_tpu.io.packing import pack_wire
+        from ntcard_tpu.pipeline import hybrid_feed
+
+        raw = parallel_batches_from_files(
+            in_files, chunk_len, batch_rows, km_len, n_thrd,
+            lenient=True, on_error="skip",
+        )
+        batches = (
+            pack_wire(b, wire_fmt, stride) for b in hybrid_feed(raw, host_sketch.update)
+        )
+    else:
+        batches = parallel_batches_from_files(
             in_files, chunk_len, batch_rows, km_len, n_thrd,
             lenient=True, on_error="skip", wire_packed=wire_fmt,
-        ),
-    ):
+        )
+    for batch in device_prefetch(batches):
         sketch.update(
             batch, packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True
         )
     regs = merged_hll_registers(sketch) if n_procs > 1 else sketch.registers()
+    if host_sketch is not None:
+        import numpy as _np
+
+        regs = _np.maximum(regs, host_sketch.registers())
     if proc_id == 0:
         f0 = estimate_f0(regs, canon=True)
         sys.stdout.write(f"F0, Exp# of distnt kmers(k={km_len}): {f0}\n")

@@ -25,6 +25,20 @@ import numpy as np
 from ntcard_tpu.constants import ASCII_TO_CODE, N
 
 
+def pack_wire(batch: np.ndarray, wire_fmt, stride: int) -> np.ndarray:
+    """Pack a raw [B, L] code batch into the requested H2D wire format
+    ("quad2" / "quad" / truthy = nibble / falsy = raw), with the per-batch
+    fallback chain the fused native path applies (quad2/quad -> nibble on
+    N-count overflow). One place for every python-side wire encode."""
+    if wire_fmt == "quad2":
+        w = pack_rows_quad2(batch, stride)
+        return w if w is not None else pack_rows(batch)
+    if wire_fmt == "quad":
+        w = pack_rows_quad(batch)
+        return w if w is not None else pack_rows(batch)
+    return pack_rows(batch) if wire_fmt else batch
+
+
 def pack_rows(batch: np.ndarray) -> np.ndarray:
     """Nibble-pack a [B, L] uint8 code batch to [B/2, L]: chunk row b rides
     in the high nibble, row b + B/2 in the low nibble of the same byte.

@@ -368,6 +368,9 @@ class ChainedCountTableSketch:
     def save(self, path: str) -> None:
         self.merged().save(path)
 
+    def merge_host_(self, host) -> None:
+        self._chains[0].merge_host_(host)
+
     def finalize(self, return_table: bool = False, cov_max: int = 65535):
         return self.merged().finalize(return_table=return_table, cov_max=cov_max)
 
@@ -474,6 +477,23 @@ class CountTableSketch:
         self.tables = _merge_add(self.tables, other.tables)
         other.tables = None
         self._f1_loaded = [a + b for a, b in zip(self._f1_loaded, other._f1_totals())]
+
+    def merge_host_(self, host) -> None:
+        """Fold a HostCountTableSketch's counts into this device sketch (the
+        hybrid-engine merge): the host's uint16 table rides one small H2D put
+        and sums into the int32 table — summing uint16-wrapped counts mod
+        2^16 equals summing unwrapped counts mod 2^16, so finalize's wrap
+        recovers the exact single-engine histogram. Only sensible when the
+        host table is small (the CLI gates hybrid on r_bits)."""
+        mine = (self.ks, self.s_bits, self.r_bits, self.stride, self.gap_positions)
+        theirs = (host.ks, host.s_bits, host.r_bits, host.stride, host.gap_positions)
+        if mine != theirs:
+            raise ValueError(f"sketch configs differ; cannot merge ({mine} vs {theirs})")
+        nk = len(self.ks)
+        t32 = np.zeros((nk, 2 * self.r_buck + 1), np.int32)
+        t32[:, : 2 * self.r_buck] = host.tables
+        self.tables = _merge_add(self.tables, jnp.asarray(t32))
+        self._f1_loaded = [a + int(b) for a, b in zip(self._f1_loaded, host.f1s)]
 
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
         """-> {k: {"hist": int64[2, <=cov_max+1], "f1": int, ["table": ...]}}.

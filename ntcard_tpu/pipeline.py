@@ -89,18 +89,12 @@ def batches_from_files(
                 on_error=on_error, stats_out=stats_out, wire_packed=wire_packed,
             )
             return
-    from ntcard_tpu.io.packing import pack_rows, pack_rows_quad, pack_rows_quad2
+    from ntcard_tpu.io.packing import pack_wire
 
     packer = StreamPacker(chunk_len, batch_rows, kmax)
 
     def wire(b):
-        if wire_packed == "quad2":
-            w = pack_rows_quad2(b, packer.stride)
-            return w if w is not None else pack_rows(b)
-        if wire_packed == "quad":
-            w = pack_rows_quad(b)
-            return w if w is not None else pack_rows(b)
-        return pack_rows(b) if wire_packed else b
+        return pack_wire(b, wire_packed, packer.stride)
     recs = records if records is not None else iter_file_records(paths, lenient, on_error)
     for rec in recs:
         for b in packer.feed(rec):
@@ -188,6 +182,59 @@ def parallel_batches_from_files(
             remaining -= 1
             continue
         yield item
+    if errs:
+        raise errs[0]
+
+
+def hybrid_feed(
+    raw_batches: Iterable[np.ndarray],
+    host_update,
+    n_host_workers: int = 1,
+) -> Iterator[np.ndarray]:
+    """Share one RAW batch stream between the host engine and the device.
+
+    ``host_update(batch)`` is called on a background worker for every batch
+    the host side claims; the returned iterator yields the remainder for the
+    device pipeline. Both consumers pull from the same lock-protected
+    iterator, so the split is pure work-stealing: the device side drains
+    batches exactly as fast as its (put-encode-bound) pipeline accepts them
+    and the host engine absorbs the rest — no static ratio to tune. The
+    sketch fold commutes, so ANY split is bit-identical to a single-engine
+    run (the hybrid merge happens at finalize: CountTableSketch.merge_host_).
+
+    The returned iterator raises the worker's exception (if any) and joins
+    the workers before finishing, so callers may merge the host sketch as
+    soon as the loop ends."""
+    lock = threading.Lock()
+    it = iter(raw_batches)
+    errs: list = []
+
+    def pull():
+        with lock:
+            return next(it, None)
+
+    def worker():
+        try:
+            while True:
+                b = pull()
+                if b is None:
+                    return
+                host_update(b)
+        except BaseException as e:
+            errs.append(e)
+
+    workers = [
+        threading.Thread(target=worker, daemon=True) for _ in range(n_host_workers)
+    ]
+    for w in workers:
+        w.start()
+    while True:
+        b = pull()
+        if b is None:
+            break
+        yield b
+    for w in workers:
+        w.join()
     if errs:
         raise errs[0]
 

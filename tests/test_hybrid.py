@@ -1,0 +1,152 @@
+"""Hybrid engine: work-stealing split of one batch stream between the native
+host engine and the device sketch (pipeline.hybrid_feed), merged at finalize
+(CountTableSketch.merge_host_).
+
+Contract: the sketch fold commutes and uint16-wrapped counts sum mod 2^16
+exactly, so ANY split — including the degenerate all-host and all-device
+splits and whatever split the work-stealing happens to produce — yields
+byte-identical histograms and F1 to a single-engine run.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ntcard_tpu.models.sketch import CountTableSketch
+from ntcard_tpu.ops.nthash import N_CODE
+from ntcard_tpu.pipeline import hybrid_feed
+
+rng = np.random.default_rng(23)
+
+
+def _codes(B, L, n_density=0.004):
+    c = rng.integers(0, 4, (B, L), dtype=np.uint8)
+    m = rng.random((B, L)) < n_density
+    c[m] = N_CODE
+    return c
+
+
+def _host_sketch(ks, s_bits, r_bits, stride, **kw):
+    from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
+
+    if not host_engine_available():
+        pytest.skip("native host engine unavailable")
+    return HostCountTableSketch(ks, s_bits, r_bits, stride, **kw)
+
+
+def _final_eq(a, b, ks, cov_max=1000):
+    fa, fb = a.finalize(cov_max=cov_max), b.finalize(cov_max=cov_max)
+    for k in ks:
+        assert fa[k]["f1"] == fb[k]["f1"]
+        np.testing.assert_array_equal(fa[k]["hist"], fb[k]["hist"])
+
+
+@pytest.mark.parametrize("split", [0, 2, 5])
+def test_merge_host_any_split(split):
+    """Explicit splits (all-device, mixed, all-host) all equal device-only."""
+    ks, stride = (12, 17), 112
+    batches = [_codes(128, 128) for _ in range(5)]
+    ref = CountTableSketch(ks, 7, 10, stride)
+    for x in batches:
+        ref.update(x)
+
+    dev = CountTableSketch(ks, 7, 10, stride)
+    host = _host_sketch(ks, 7, 10, stride)
+    for x in batches[:split]:
+        host.update(x)
+    for x in batches[split:]:
+        dev.update(x)
+    dev.merge_host_(host)
+    _final_eq(dev, ref, ks)
+
+
+def test_hybrid_feed_work_stealing():
+    """The actual hybrid_feed split (nondeterministic) is bit-exact, and the
+    host workers are joined before the iterator finishes."""
+    ks, stride = (12,), 112
+    batches = [_codes(128, 128) for _ in range(12)]
+    ref = CountTableSketch(ks, 7, 10, stride)
+    for x in batches:
+        ref.update(x)
+
+    dev = CountTableSketch(ks, 7, 10, stride)
+    host = _host_sketch(ks, 7, 10, stride, n_threads=1)
+    n_dev = 0
+    for b in hybrid_feed(iter(batches), host.update):
+        dev.update(b)
+        n_dev += 1
+    assert 0 <= n_dev <= len(batches)
+    dev.merge_host_(host)
+    _final_eq(dev, ref, ks)
+
+
+def test_hybrid_feed_worker_error_propagates():
+    def boom(_):
+        raise RuntimeError("host engine exploded")
+
+    slow = iter([_codes(16, 64) for _ in range(4)])
+    with pytest.raises(RuntimeError, match="exploded"):
+        for _ in hybrid_feed(slow, boom):
+            pass
+
+
+def test_merge_host_config_mismatch():
+    dev = CountTableSketch((12,), 7, 10, 120)
+    host = _host_sketch((13,), 7, 10, 120)
+    with pytest.raises(ValueError, match="configs differ"):
+        dev.merge_host_(host)
+
+
+def test_merge_host_uint16_wrap():
+    """Host counts near the uint16 wrap must sum with device counts mod 2^16
+    exactly (the reference's uint16 table semantics, ntcard.cpp:437-439)."""
+    dev = CountTableSketch((12,), 7, 4, 120)
+    host = _host_sketch((12,), 7, 4, 120)
+    host.tables[0, 3] = 65535  # forged near-wrap host count
+    host.f1s[0] = 7
+    dev.tables = dev.tables.at[0, 3].add(2)  # device adds 2 -> wraps to 1
+    dev.merge_host_(host)
+    state = dev.finalize(cov_max=1000, return_table=True)
+    assert state[12]["table"][0, 3] == 1  # (65535 + 2) % 65536
+    assert state[12]["f1"] == 7
+
+
+def test_cli_hll_hybrid_matches_golden(tmp_path):
+    """nthll hybrid (host HLL + device, register max-merge) equals golden."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid")
+    r = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli_hll", "-k25",
+         str(root / "tests/data/reads.fq")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    golden = (root / "tests/golden/nthll_k25.out.good").read_text()
+    assert r.stdout == golden
+
+
+def test_cli_hybrid_matches_golden(tmp_path):
+    """End-to-end: NTCARD_ENGINE=hybrid CLI run is byte-identical to the
+    stock run (goldens are reference-exact, so this chains to the C++)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid")
+    out = tmp_path / "hyb"
+    r = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli", "-k12", "-c1000", "-r16",
+         "--batch-rows", "256", "-p", str(out), str(root / "tests/data/reads.fq")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root,
+    )
+    assert r.returncode == 0, r.stderr
+    golden = (root / "tests/golden/reads_k12.hist.good").read_bytes()
+    assert (tmp_path / "hyb_k12.hist").read_bytes() == golden

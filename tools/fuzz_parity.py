@@ -167,6 +167,8 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
     )
     if seed % 3 == 0:
         env["NTCARD_ENGINE"] = "host"
+    elif seed % 3 == 2:
+        env["NTCARD_ENGINE"] = "hybrid"  # work-stealing split (no-op sharded)
     if seed % 5 == 0:
         env["NTCARD_WIRE"] = "quad2"  # owned-span wire (no-op for sharded/host)
     if seed % 7 < 2:
@@ -221,6 +223,8 @@ def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
     )
     if seed % 3 == 0:
         env["NTCARD_ENGINE"] = "host"
+    elif seed % 3 == 2:
+        env["NTCARD_ENGINE"] = "hybrid"
     if seed % 5 == 0:
         env["NTCARD_WIRE"] = "quad2"
     r2 = subprocess.run(

@@ -388,21 +388,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     # the native engine actually being available.
     host_sketch = None
     host_table_bytes = len(ks) * 2 * (1 << opt.r_bits) * 2
-    if (
-        _os.environ.get("NTCARD_ENGINE") == "hybrid"
-        and private_sketch
-        and n_procs == 1
-        and host_table_bytes <= int(_os.environ.get("NTCARD_HYBRID_MAX_TABLE", 64 << 20))
-    ):
-        from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
-
-        if host_engine_available():
-            host_sketch = HostCountTableSketch(
-                ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions,
-                n_threads=int(
-                    _os.environ.get("NTCARD_HYBRID_HOST_THREADS", "0")
-                ) or max(1, (_os.cpu_count() or 2) - 2),
+    if _os.environ.get("NTCARD_ENGINE") == "hybrid":
+        why = None
+        if not private_sketch or n_procs > 1:
+            why = "sharded/multi-host sketches are device-only"
+        elif host_table_bytes > int(_os.environ.get("NTCARD_HYBRID_MAX_TABLE", 64 << 20)):
+            why = (
+                f"host table ({host_table_bytes >> 20} MB) exceeds "
+                "NTCARD_HYBRID_MAX_TABLE (merge transfer would dominate)"
             )
+        else:
+            from ntcard_tpu.models.host_engine import (
+                HostCountTableSketch,
+                host_engine_available,
+            )
+
+            if not host_engine_available():
+                why = "native host engine unavailable (no g++?)"
+            else:
+                host_sketch = HostCountTableSketch(
+                    ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions,
+                    n_threads=int(
+                        _os.environ.get("NTCARD_HYBRID_HOST_THREADS", "0")
+                    ) or max(1, (_os.cpu_count() or 2) - 2),
+                )
+        if why is not None:
+            sys.stderr.write(f"{PROGRAM}: NTCARD_ENGINE=hybrid ignored: {why}\n")
 
     metrics = Metrics(opt.metrics)
     stats: dict = {}

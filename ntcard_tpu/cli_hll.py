@@ -184,14 +184,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     # HLL engine and the device (pipeline.hybrid_feed); registers max-merge
     # at the end, so any split is bit-identical (see cli.py / test_hybrid)
     host_sketch = None
-    if eng == "hybrid" and private_sketch and n_procs == 1:
-        from ntcard_tpu.models.host_engine import HostHllSketch, host_engine_available
+    if eng == "hybrid":
+        why = None
+        if not private_sketch or n_procs > 1:
+            why = "sharded/multi-host sketches are device-only"
+        else:
+            from ntcard_tpu.models.host_engine import HostHllSketch, host_engine_available
 
-        if host_engine_available():
-            host_sketch = HostHllSketch(
-                km_len, n_bits, stride,
-                n_threads=max(1, (_os.cpu_count() or 2) - 2),
-            )
+            if not host_engine_available():
+                why = "native host engine unavailable (no g++?)"
+            else:
+                host_sketch = HostHllSketch(
+                    km_len, n_bits, stride,
+                    n_threads=max(1, (_os.cpu_count() or 2) - 2),
+                )
+        if why is not None:
+            sys.stderr.write(f"{PROGRAM}: NTCARD_ENGINE=hybrid ignored: {why}\n")
     # nthll silently skips unreadable files and sniffs leniently (no error
     # path in its reader loop, nthll.cpp:70-90, 225-235). -t fans decode
     # threads over files like the reference's thread-private sketches

@@ -204,12 +204,23 @@ def hybrid_feed(
 
     The returned iterator raises the worker's exception (if any) and joins
     the workers before finishing, so callers may merge the host sketch as
-    soon as the loop ends."""
+    soon as the loop ends. A worker error stops the whole feed promptly
+    (not after the stream drains), and abandoning the iterator early
+    (consumer exception) stops and joins the workers via the generator's
+    close, so nothing keeps draining the input underneath a failed run.
+
+    Note: the device-claimed batches still need wire packing downstream;
+    that runs on the single consuming thread. Hybrid targets the
+    slow-transfer regime where the put encode, not packing, binds — on a
+    fast link prefer the plain fused native wire path."""
     lock = threading.Lock()
+    stop = threading.Event()
     it = iter(raw_batches)
     errs: list = []
 
     def pull():
+        if stop.is_set():
+            return None
         with lock:
             return next(it, None)
 
@@ -222,19 +233,23 @@ def hybrid_feed(
                 host_update(b)
         except BaseException as e:
             errs.append(e)
+            stop.set()
 
     workers = [
         threading.Thread(target=worker, daemon=True) for _ in range(n_host_workers)
     ]
     for w in workers:
         w.start()
-    while True:
-        b = pull()
-        if b is None:
-            break
-        yield b
-    for w in workers:
-        w.join()
+    try:
+        while not stop.is_set():
+            b = pull()
+            if b is None:
+                break
+            yield b
+    finally:
+        stop.set()
+        for w in workers:
+            w.join()
     if errs:
         raise errs[0]
 

@@ -120,13 +120,19 @@ def test_cli_hll_hybrid_matches_golden(tmp_path):
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    env = dict(os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid")
+    # pin ONE device: the conftest's inherited 8-device XLA_FLAGS would make
+    # the sketch sharded and silently disable hybrid (the gate warns now)
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
     r = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli_hll", "-k25",
          str(root / "tests/data/reads.fq")],
         capture_output=True, text=True, timeout=600, env=env, cwd=root,
     )
     assert r.returncode == 0, r.stderr
+    assert "hybrid ignored" not in r.stderr  # the gate actually engaged
     golden = (root / "tests/golden/nthll_k25.out.good").read_text()
     assert r.stdout == golden
 
@@ -140,13 +146,20 @@ def test_cli_hybrid_matches_golden(tmp_path):
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    env = dict(os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid")
+    # pin ONE device (see nthll variant above) and require the engine tag in
+    # --metrics so this test can never silently cover the non-hybrid path
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", NTCARD_ENGINE="hybrid",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
     out = tmp_path / "hyb"
     r = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli", "-k12", "-c1000", "-r16",
-         "--batch-rows", "256", "-p", str(out), str(root / "tests/data/reads.fq")],
+         "--batch-rows", "256", "--metrics", "-p", str(out),
+         str(root / "tests/data/reads.fq")],
         capture_output=True, text=True, timeout=600, env=env, cwd=root,
     )
     assert r.returncode == 0, r.stderr
+    assert '"engine": "hybrid"' in r.stderr, r.stderr
     golden = (root / "tests/golden/reads_k12.hist.good").read_bytes()
     assert (tmp_path / "hyb_k12.hist").read_bytes() == golden

@@ -712,6 +712,80 @@ void host_fill_k(HostK& hk, int k) {
   }
 }
 
+// G rows of one k in lockstep. A single row's rolling recurrence is a serial
+// rotate-XOR chain (~4-5 cycle latency per base with nothing else to issue);
+// G independent chains interleaved in registers fill those latency slots —
+// measured ~2x per core at G=4 vs one row at a time. Semantics are identical
+// to the row-at-a-time loop (table updates are commutative atomics, F1 is
+// additive). tbl_j points at this k's [2][2^r_bits] slice.
+template <int G>
+inline void host_rows_k(const uint8_t* codes, long long row_len, long long rb,
+                        long long stride, const HostK& hk,
+                        int s_bits, int r_bits,
+                        const int32_t* mask_pos, int n_mask,
+                        const uint64_t* strip_f, const uint64_t* strip_r,
+                        uint16_t* tbl_j, long long& f1_out) {
+  const uint64_t r_buck = 1ULL << r_bits;
+  const uint64_t r_mask = r_buck - 1;
+  const uint64_t s_mask = (1ULL << (s_bits - 1)) - 1;
+  const int k = hk.k;
+  const long long e_end = std::min(row_len, stride + k - 1);
+  const uint8_t* row[G];
+  uint64_t fh[G], rh[G];
+  long long runlen[G];
+  long long f1j = 0;
+  for (int g = 0; g < G; g++) {
+    row[g] = codes + (rb + g) * row_len;
+    fh[g] = rh[g] = 0;
+    runlen[g] = 0;
+  }
+  // ntcard's asymmetric two-sample test (ntcard.cpp:135-139; mirrored from
+  // ops/nthash.make_sketch_emit): when both tests pass (possible at
+  // s_bits=1) the update goes to sample 1
+  auto emit = [&](int g, long long e) {
+    f1j++;
+    uint64_t fs = fh[g], rs = rh[g];
+    if (n_mask) {
+      const long long i = e - k + 1;
+      for (int m = 0; m < n_mask; m++) {
+        const int cp = row[g][i + mask_pos[m]];
+        fs ^= strip_f[m * 5 + cp];
+        rs ^= strip_r[m * 5 + cp];
+      }
+    }
+    const uint64_t h = fs < rs ? fs : rs;
+    const bool s1 = (h >> (64 - s_bits)) == s_mask;
+    const bool s0 = (h >> (63 - s_bits)) == 1ULL;
+    if (s0 || s1) {
+      const size_t idx = (s1 ? r_buck : 0) + (h & r_mask);
+      __atomic_fetch_add(&tbl_j[idx], (uint16_t)1, __ATOMIC_RELAXED);
+    }
+  };
+  // warmup: no base leaves the window yet (rot/seed of N are 0)
+  const long long warm = std::min((long long)k, e_end);
+  for (long long e = 0; e < warm; e++) {
+    for (int g = 0; g < G; g++) {
+      const int c = row[g][e];
+      fh[g] = hsrol1(fh[g]) ^ HSEED[c];
+      rh[g] = hsror1(rh[g] ^ hk.rotk_comp[c]);
+      runlen[g] = (c == 4) ? 0 : runlen[g] + 1;
+      if (e == k - 1 && runlen[g] >= k) emit(g, e);
+    }
+  }
+  // steady state: every e has an outgoing base and e >= k - 1
+  for (long long e = warm; e < e_end; e++) {
+    for (int g = 0; g < G; g++) {
+      const int c = row[g][e];
+      const int out_c = row[g][e - k];
+      fh[g] = hsrol1(fh[g]) ^ HSEED[c] ^ hk.rotk[out_c];
+      rh[g] = hsror1(rh[g] ^ hk.rotk_comp[c] ^ HSEED[HCOMP[out_c]]);
+      runlen[g] = (c == 4) ? 0 : runlen[g] + 1;
+      if (runlen[g] >= k) emit(g, e);
+    }
+  }
+  f1_out += f1j;
+}
+
 }  // namespace
 
 extern "C" {
@@ -751,61 +825,25 @@ void ntcard_host_update(const uint8_t* codes, long long rows, long long row_len,
   std::vector<std::vector<long long>> f1_local(nt, std::vector<long long>(nk, 0));
   std::vector<std::thread> threads;
   long long rows_per = (rows + nt - 1) / nt;
+  (void)r_mask;
+  (void)s_mask;
   for (int t = 0; t < nt; t++) {
     threads.emplace_back([&, t]() {
       long long r0 = t * rows_per, r1 = std::min(rows, r0 + rows_per);
-      for (long long r = r0; r < r1; r++) {
-        const uint8_t* row = codes + r * row_len;
-        for (int j = 0; j < nk; j++) {
-          const HostK& hk = hks[j];
-          const int k = hk.k;
-          const long long e_end = std::min(row_len, stride + k - 1);
-          uint64_t fh = 0, rh = 0;
-          long long runlen = 0;
-          long long f1j = 0;  // register-resident F1 (hot per-window path)
-          // ntcard's asymmetric two-sample test (ntcard.cpp:135-139;
-          // mirrored from ops/nthash.make_sketch_emit): when both tests
-          // pass (possible at s_bits=1) the update goes to sample 1
-          auto emit = [&](long long e) {
-            f1j++;
-            uint64_t fs = fh, rs = rh;
-            if (n_mask) {
-              const long long i = e - k + 1;
-              for (int m = 0; m < n_mask; m++) {
-                const int cp = row[i + mask_pos[m]];
-                fs ^= strip_f[m * 5 + cp];
-                rs ^= strip_r[m * 5 + cp];
-              }
-            }
-            const uint64_t h = fs < rs ? fs : rs;
-            const bool s1 = (h >> (64 - s_bits)) == s_mask;
-            const bool s0 = (h >> (63 - s_bits)) == 1ULL;
-            if (s0 || s1) {
-              const size_t idx =
-                  ((size_t)j * 2 + (s1 ? 1 : 0)) * r_buck + (h & r_mask);
-              __atomic_fetch_add(&table[idx], (uint16_t)1, __ATOMIC_RELAXED);
-            }
-          };
-          // warmup: no base leaves the window yet (rot/seed of N are 0)
-          const long long warm = std::min((long long)k, e_end);
-          for (long long e = 0; e < warm; e++) {
-            const int c = row[e];
-            fh = hsrol1(fh) ^ HSEED[c];
-            rh = hsror1(rh ^ hk.rotk_comp[c]);
-            runlen = (c == 4) ? 0 : runlen + 1;
-            if (e == k - 1 && runlen >= k) emit(e);
-          }
-          // steady state: every e has an outgoing base and e >= k - 1
-          for (long long e = warm; e < e_end; e++) {
-            const int c = row[e];
-            const int out_c = row[e - k];
-            fh = hsrol1(fh) ^ HSEED[c] ^ hk.rotk[out_c];
-            rh = hsror1(rh ^ hk.rotk_comp[c] ^ HSEED[HCOMP[out_c]]);
-            runlen = (c == 4) ? 0 : runlen + 1;
-            if (runlen >= k) emit(e);
-          }
-          f1_local[t][j] += f1j;
-        }
+      for (int j = 0; j < nk; j++) {
+        const HostK& hk = hks[j];
+        uint16_t* tbl_j = table + (size_t)j * 2 * r_buck;
+        long long f1j = 0;
+        long long r = r0;
+        for (; r + 4 <= r1; r += 4)
+          host_rows_k<4>(codes, row_len, r, stride, hk, s_bits, r_bits,
+                         mask_pos, n_mask, strip_f.data(), strip_r.data(),
+                         tbl_j, f1j);
+        for (; r < r1; r++)
+          host_rows_k<1>(codes, row_len, r, stride, hk, s_bits, r_bits,
+                         mask_pos, n_mask, strip_f.data(), strip_r.data(),
+                         tbl_j, f1j);
+        f1_local[t][j] += f1j;
       }
     });
   }

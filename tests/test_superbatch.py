@@ -48,6 +48,29 @@ def test_stack_matches_sequential(packed, pack):
     _assert_same(a, b)
 
 
+def test_stack_matches_sequential_quad2():
+    """quad2 wire stacks carry the jit-static halo mode string through the
+    scan body identically."""
+    from ntcard_tpu.io.packing import pack_rows_quad2
+
+    ks, stride = (12, 17), 112
+    L = stride + 16
+    a = CountTableSketch(ks, 7, 10, stride)
+    b = CountTableSketch(ks, 7, 10, stride)
+    batches = []
+    for _ in range(4):
+        x = _codes(1024, L)  # quad2_ok needs (B/128 * stride) % 128 == 0
+        w = pack_rows_quad2(x, stride)
+        assert w is not None
+        batches.append(w)
+    for w in batches:
+        a.update(w, packed=f"quad2:{L - stride}")
+    b.update(np.stack(batches), packed=f"quad2:{L - stride}")
+    _assert = np.testing.assert_array_equal
+    _assert(np.asarray(a.tables), np.asarray(b.tables))
+    assert a._f1_totals() == b._f1_totals()
+
+
 def test_stack_matches_sequential_big_table_multi_k():
     """r_bits > 17 routes through the combined compact+scatter path — the
     scan body must carry the lax.cond fallback identically."""

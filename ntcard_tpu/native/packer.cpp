@@ -786,6 +786,228 @@ inline void host_rows_k(const uint8_t* codes, long long row_len, long long rb,
   f1_out += f1j;
 }
 
+// ---------------------------------------------------------------------------
+// AVX-512 lane-parallel engine: 8 rows of one k per zmm register. The split
+// 33/31 dual-ring rotation decomposes into 3 shifts + 3 masks + 2 ors per
+// strand, and the 5-entry per-code seed tables (HSEED / P^k tables) each fit
+// one register, looked up with a single vpermq (permutexvar_epi64). Guarded
+// by __builtin_cpu_supports at runtime so the .so stays portable
+// (-mtune=generic baseline; only this function carries the target attr).
+// Gap seeds (n_mask > 0) stay on the scalar path.
+// ---------------------------------------------------------------------------
+#if defined(__x86_64__) && defined(__GNUC__)
+#define NTCARD_HAVE_AVX512_PATH 1
+#include <immintrin.h>
+
+__attribute__((target("avx512f"))) static inline __m512i vsrol1(__m512i v) {
+  // lo ring bits [0..32] rotl1, hi ring bits [33..63] rotl1:
+  //   bit32 -> bit0, bit63 -> bit33, everything else shifts left one
+  const __m512i keep = _mm512_set1_epi64((long long)~((1ULL << 33) | 1ULL));
+  __m512i s = _mm512_and_si512(_mm512_slli_epi64(v, 1), keep);
+  __m512i b0 = _mm512_and_si512(_mm512_srli_epi64(v, 32), _mm512_set1_epi64(1));
+  __m512i b33 = _mm512_and_si512(_mm512_srli_epi64(v, 30),
+                                 _mm512_set1_epi64(1LL << 33));
+  return _mm512_or_si512(s, _mm512_or_si512(b0, b33));
+}
+
+__attribute__((target("avx512f"))) static inline __m512i vsror1(__m512i v) {
+  // bit0 -> bit32, bit33 -> bit63, everything else shifts right one
+  const __m512i keep =
+      _mm512_set1_epi64((long long)~((1ULL << 32) | (1ULL << 63)));
+  __m512i s = _mm512_and_si512(_mm512_srli_epi64(v, 1), keep);
+  __m512i b32 = _mm512_and_si512(_mm512_slli_epi64(v, 32),
+                                 _mm512_set1_epi64(1LL << 32));
+  __m512i b63 = _mm512_and_si512(_mm512_slli_epi64(v, 30),
+                                 _mm512_set1_epi64((long long)(1ULL << 63)));
+  return _mm512_or_si512(s, _mm512_or_si512(b32, b63));
+}
+
+__attribute__((target("avx512f"))) static inline __m512i vload_tab5(
+    const uint64_t* t5) {
+  alignas(64) uint64_t tb[8];
+  for (int c = 0; c < 5; c++) tb[c] = t5[c];
+  tb[5] = tb[6] = tb[7] = 0;  // code indices are only ever 0..4
+  return _mm512_load_si512((const void*)tb);
+}
+
+// sample test for 8 valid lanes (ntcard.cpp:135-139): s1 wins when both pass
+__attribute__((target("avx512f"))) static inline void vemit(
+    __m512i fh, __m512i rh, __mmask8 valid, __m128i sh_s1, __m128i sh_s0,
+    __m512i vsmask, __m512i vone, uint64_t r_buck, uint64_t r_mask,
+    uint16_t* tbl_j, long long& f1j) {
+  f1j += __builtin_popcount((unsigned)valid);
+  const __m512i h = _mm512_min_epu64(fh, rh);
+  const __mmask8 s1 =
+      _mm512_mask_cmpeq_epi64_mask(valid, _mm512_srl_epi64(h, sh_s1), vsmask);
+  const __mmask8 s0 =
+      _mm512_mask_cmpeq_epi64_mask(valid, _mm512_srl_epi64(h, sh_s0), vone);
+  const __mmask8 upd = (__mmask8)(s0 | s1);
+  if (upd) {
+    alignas(64) uint64_t hv[8];
+    _mm512_store_si512((void*)hv, h);
+    for (int g = 0; g < 8; g++)
+      if ((upd >> g) & 1) {
+        const size_t idx = (((s1 >> g) & 1) ? r_buck : 0) + (hv[g] & r_mask);
+        __atomic_fetch_add(&tbl_j[idx], (uint16_t)1, __ATOMIC_RELAXED);
+      }
+  }
+}
+
+// 8 rows of one k in zmm lanes, reading the column-transposed code buffer
+// (colbuf[e*8 + g] = codes[(rb+g)*row_len + e], filled once per 8-row block
+// and shared by every k). Bit-identical to host_rows_k<8> with n_mask == 0.
+__attribute__((target("avx512f"))) static void host_rows8_k_avx512(
+    const uint8_t* colbuf, long long row_len, long long stride,
+    const HostK& hk, int s_bits, int r_bits, uint16_t* tbl_j,
+    long long& f1_out) {
+  const uint64_t r_buck = 1ULL << r_bits;
+  const uint64_t r_mask = r_buck - 1;
+  const uint64_t s_mask = (1ULL << (s_bits - 1)) - 1;
+  const int k = hk.k;
+  const long long e_end = std::min(row_len, stride + k - 1);
+
+  const __m512i vseed = vload_tab5(HSEED);
+  const __m512i vrotk = vload_tab5(hk.rotk);
+  const __m512i vrotk_comp = vload_tab5(hk.rotk_comp);
+  uint64_t seed_comp_tab[5];
+  for (int c = 0; c < 5; c++) seed_comp_tab[c] = HSEED[HCOMP[c]];
+  const __m512i vseed_comp = vload_tab5(seed_comp_tab);
+
+  const __m512i vfour = _mm512_set1_epi64(4);
+  const __m512i vone = _mm512_set1_epi64(1);
+  const __m512i vk = _mm512_set1_epi64(k);
+  const __m512i vsmask = _mm512_set1_epi64((long long)s_mask);
+  const __m128i sh_s1 = _mm_cvtsi32_si128(64 - s_bits);
+  const __m128i sh_s0 = _mm_cvtsi32_si128(63 - s_bits);
+
+  __m512i fh = _mm512_setzero_si512();
+  __m512i rh = _mm512_setzero_si512();
+  __m512i runlen = _mm512_setzero_si512();
+  long long f1j = 0;
+
+  // warmup: no base leaves the window yet
+  const long long warm = std::min((long long)k, e_end);
+  for (long long e = 0; e < warm; e++) {
+    const __m512i c = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i*)(colbuf + e * 8)));
+    fh = _mm512_xor_si512(vsrol1(fh), _mm512_permutexvar_epi64(c, vseed));
+    rh = vsror1(_mm512_xor_si512(rh, _mm512_permutexvar_epi64(c, vrotk_comp)));
+    const __mmask8 not_n = _mm512_cmpneq_epi64_mask(c, vfour);
+    runlen = _mm512_maskz_add_epi64(not_n, runlen, vone);
+    if (e == k - 1) {
+      const __mmask8 valid = _mm512_cmpge_epi64_mask(runlen, vk);
+      if (valid)
+        vemit(fh, rh, valid, sh_s1, sh_s0, vsmask, vone, r_buck, r_mask,
+              tbl_j, f1j);
+    }
+  }
+  // steady state: every e has an outgoing base and e >= k - 1
+  for (long long e = warm; e < e_end; e++) {
+    const __m512i c = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i*)(colbuf + e * 8)));
+    const __m512i oc = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i*)(colbuf + (e - k) * 8)));
+    fh = _mm512_xor_si512(
+        vsrol1(fh),
+        _mm512_xor_si512(_mm512_permutexvar_epi64(c, vseed),
+                         _mm512_permutexvar_epi64(oc, vrotk)));
+    rh = vsror1(_mm512_xor_si512(
+        rh, _mm512_xor_si512(_mm512_permutexvar_epi64(c, vrotk_comp),
+                             _mm512_permutexvar_epi64(oc, vseed_comp))));
+    const __mmask8 not_n = _mm512_cmpneq_epi64_mask(c, vfour);
+    runlen = _mm512_maskz_add_epi64(not_n, runlen, vone);
+    const __mmask8 valid = _mm512_cmpge_epi64_mask(runlen, vk);
+    if (valid)
+      vemit(fh, rh, valid, sh_s1, sh_s0, vsmask, vone, r_buck, r_mask,
+            tbl_j, f1j);
+  }
+  f1_out += f1j;
+}
+
+// 8 rows of the nthll HyperLogLog update in zmm lanes (register value =
+// max(old, clz of the hash above the bucket bits), nthll.cpp:92-97; clz of
+// an all-zero top counts as 0). Registers are thread-private, so the
+// per-lane max fold is a plain scalar tail. Needs avx512cd for vplzcntq.
+__attribute__((target("avx512f,avx512cd"))) static void host_hll_rows8_avx512(
+    const uint8_t* colbuf, long long row_len, long long stride,
+    const HostK& hk, int n_bits, uint8_t* priv) {
+  const uint64_t n_buck = 1ULL << n_bits;
+  const uint64_t b_mask = n_buck - 1;
+  const int k = hk.k;
+  const long long e_end = std::min(row_len, stride + k - 1);
+
+  const __m512i vseed = vload_tab5(HSEED);
+  const __m512i vrotk = vload_tab5(hk.rotk);
+  const __m512i vrotk_comp = vload_tab5(hk.rotk_comp);
+  uint64_t seed_comp_tab[5];
+  for (int c = 0; c < 5; c++) seed_comp_tab[c] = HSEED[HCOMP[c]];
+  const __m512i vseed_comp = vload_tab5(seed_comp_tab);
+
+  const __m512i vfour = _mm512_set1_epi64(4);
+  const __m512i vone = _mm512_set1_epi64(1);
+  const __m512i vk = _mm512_set1_epi64(k);
+  const __m512i vbmask = _mm512_set1_epi64((long long)b_mask);
+  const __m512i vtopmask = _mm512_set1_epi64((long long)~b_mask);
+
+  __m512i fh = _mm512_setzero_si512();
+  __m512i rh = _mm512_setzero_si512();
+  __m512i runlen = _mm512_setzero_si512();
+
+  alignas(64) uint64_t iv[8];
+  alignas(64) uint64_t rv[8];
+  const long long warm = std::min((long long)k, e_end);
+  for (long long e = 0; e < e_end; e++) {
+    const __m512i c = _mm512_cvtepu8_epi64(
+        _mm_loadl_epi64((const __m128i*)(colbuf + e * 8)));
+    if (e < warm) {
+      fh = _mm512_xor_si512(vsrol1(fh), _mm512_permutexvar_epi64(c, vseed));
+      rh = vsror1(
+          _mm512_xor_si512(rh, _mm512_permutexvar_epi64(c, vrotk_comp)));
+    } else {
+      const __m512i oc = _mm512_cvtepu8_epi64(
+          _mm_loadl_epi64((const __m128i*)(colbuf + (e - k) * 8)));
+      fh = _mm512_xor_si512(
+          vsrol1(fh),
+          _mm512_xor_si512(_mm512_permutexvar_epi64(c, vseed),
+                           _mm512_permutexvar_epi64(oc, vrotk)));
+      rh = vsror1(_mm512_xor_si512(
+          rh, _mm512_xor_si512(_mm512_permutexvar_epi64(c, vrotk_comp),
+                               _mm512_permutexvar_epi64(oc, vseed_comp))));
+    }
+    const __mmask8 not_n = _mm512_cmpneq_epi64_mask(c, vfour);
+    runlen = _mm512_maskz_add_epi64(not_n, runlen, vone);
+    if (e < k - 1) continue;
+    const __mmask8 valid = _mm512_cmpge_epi64_mask(runlen, vk);
+    if (!valid) continue;
+    const __m512i h = _mm512_min_epu64(fh, rh);
+    const __m512i masked = _mm512_and_si512(h, vtopmask);
+    const __mmask8 nz = _mm512_test_epi64_mask(masked, masked);
+    const __m512i run0 =
+        _mm512_maskz_mov_epi64(nz, _mm512_lzcnt_epi64(masked));
+    _mm512_store_si512((void*)iv, _mm512_and_si512(h, vbmask));
+    _mm512_store_si512((void*)rv, run0);
+    for (int g = 0; g < 8; g++)
+      if ((valid >> g) & 1) {
+        uint8_t& slot = priv[iv[g]];
+        if ((uint8_t)rv[g] > slot) slot = (uint8_t)rv[g];
+      }
+  }
+}
+
+static bool host_avx512_ok() {
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  return ok;
+}
+
+static bool host_avx512cd_ok() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512cd");
+  return ok;
+}
+#else
+#define NTCARD_HAVE_AVX512_PATH 0
+#endif  // x86_64 && GNUC
+
 }  // namespace
 
 extern "C" {
@@ -830,17 +1052,41 @@ void ntcard_host_update(const uint8_t* codes, long long rows, long long row_len,
   for (int t = 0; t < nt; t++) {
     threads.emplace_back([&, t]() {
       long long r0 = t * rows_per, r1 = std::min(rows, r0 + rows_per);
+      long long r = r0;
+#if NTCARD_HAVE_AVX512_PATH
+      if (n_mask == 0 && host_avx512_ok()) {
+        // column-transpose each 8-row block once (colbuf[e*8+g] = block
+        // row g at column e) so the lane loops load one u64 per step;
+        // the transpose is shared by every k
+        long long e_max = 0;
+        for (int j = 0; j < nk; j++)
+          e_max = std::max(e_max,
+                           std::min(row_len, stride + (long long)hks[j].k - 1));
+        std::vector<uint8_t> colbuf((size_t)e_max * 8);
+        for (; r + 8 <= r1; r += 8) {
+          for (int g = 0; g < 8; g++) {
+            const uint8_t* row = codes + (size_t)(r + g) * row_len;
+            for (long long e = 0; e < e_max; e++) colbuf[e * 8 + g] = row[e];
+          }
+          for (int j = 0; j < nk; j++)
+            host_rows8_k_avx512(colbuf.data(), row_len, stride, hks[j],
+                                s_bits, r_bits,
+                                table + (size_t)j * 2 * r_buck,
+                                f1_local[t][j]);
+        }
+      }
+#endif
       for (int j = 0; j < nk; j++) {
         const HostK& hk = hks[j];
         uint16_t* tbl_j = table + (size_t)j * 2 * r_buck;
         long long f1j = 0;
-        long long r = r0;
-        for (; r + 4 <= r1; r += 4)
-          host_rows_k<4>(codes, row_len, r, stride, hk, s_bits, r_bits,
+        long long rr = r;
+        for (; rr + 4 <= r1; rr += 4)
+          host_rows_k<4>(codes, row_len, rr, stride, hk, s_bits, r_bits,
                          mask_pos, n_mask, strip_f.data(), strip_r.data(),
                          tbl_j, f1j);
-        for (; r < r1; r++)
-          host_rows_k<1>(codes, row_len, r, stride, hk, s_bits, r_bits,
+        for (; rr < r1; rr++)
+          host_rows_k<1>(codes, row_len, rr, stride, hk, s_bits, r_bits,
                          mask_pos, n_mask, strip_f.data(), strip_r.data(),
                          tbl_j, f1j);
         f1_local[t][j] += f1j;
@@ -875,7 +1121,22 @@ void ntcard_host_hll_update(const uint8_t* codes, long long rows,
       std::vector<uint8_t>& priv = local[t];
       priv.assign(n_buck, 0);
       long long r0 = t * rows_per, r1 = std::min(rows, r0 + rows_per);
-      for (long long r = r0; r < r1; r++) {
+      long long r = r0;
+#if NTCARD_HAVE_AVX512_PATH
+      if (host_avx512cd_ok()) {
+        const long long e_max = std::min(row_len, stride + (long long)k - 1);
+        std::vector<uint8_t> colbuf((size_t)e_max * 8);
+        for (; r + 8 <= r1; r += 8) {
+          for (int g = 0; g < 8; g++) {
+            const uint8_t* row = codes + (size_t)(r + g) * row_len;
+            for (long long e = 0; e < e_max; e++) colbuf[e * 8 + g] = row[e];
+          }
+          host_hll_rows8_avx512(colbuf.data(), row_len, stride, hk, n_bits,
+                                priv.data());
+        }
+      }
+#endif
+      for (; r < r1; r++) {
         const uint8_t* row = codes + r * row_len;
         const long long e_end = std::min(row_len, stride + k - 1);
         uint64_t fh = 0, rh = 0;

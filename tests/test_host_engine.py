@@ -163,3 +163,48 @@ def test_host_sketch_checkpoint_merges_with_device(tmp_path):
     sm = dev.finalize(return_table=True, cov_max=64)
     assert sf[12]["f1"] == sm[12]["f1"]
     assert np.array_equal(sf[12]["table"], sm[12]["table"])
+
+
+@pytest.mark.parametrize("rows", [1, 5, 8, 9, 23])
+def test_host_vs_device_odd_row_counts(rows):
+    """Row counts around the 8-lane block size exercise the vector path's
+    remainder handoff (AVX-512 blocks + scalar tail) and per-thread row
+    splits; results must stay bit-identical to the device path."""
+    from ntcard_tpu.models.sketch import CountTableSketch
+
+    ks = (12, 61)
+    chunk_len = 128
+    stride = aligned_stride(chunk_len, max(ks))
+    rng = np.random.default_rng(rows)
+    codes = rng.choice(
+        np.arange(5, dtype=np.uint8), size=(rows, chunk_len), p=[0.23] * 4 + [0.08]
+    )
+    dev = CountTableSketch(ks, 7, 10, stride)
+    dev.update(codes)
+    sd = dev.finalize(return_table=True, cov_max=64)
+    for nt in (1, 4):
+        host = HostCountTableSketch(ks, 7, 10, stride, n_threads=nt)
+        host.update(codes)
+        sh = host.finalize(return_table=True, cov_max=64)
+        for k in ks:
+            assert sd[k]["f1"] == sh[k]["f1"], (rows, nt, k)
+            assert np.array_equal(sd[k]["table"], sh[k]["table"]), (rows, nt, k)
+
+
+@pytest.mark.parametrize("rows", [3, 9, 16])
+def test_host_vs_device_hll_odd_row_counts(rows):
+    from ntcard_tpu.models.hll import HllSketch
+
+    k = 25
+    chunk_len = 128
+    stride = aligned_stride(chunk_len, k)
+    rng = np.random.default_rng(100 + rows)
+    codes = rng.choice(
+        np.arange(5, dtype=np.uint8), size=(rows, chunk_len), p=[0.23] * 4 + [0.08]
+    )
+    dev = HllSketch(k, 16, stride)
+    dev.update(codes)
+    for nt in (1, 4):
+        host = HostHllSketch(k, 16, stride, n_threads=nt)
+        host.update(codes)
+        assert np.array_equal(dev.registers(), host.registers()), (rows, nt)

@@ -101,16 +101,23 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     # superbatch A/B knob: fold n wire batches per dispatch (pipeline.superbatch)
     n_super = int(os.environ.get("NTCARD_SUPERBATCH", "1"))
 
-    # NTCARD_ENGINE=hybrid: work-steal raw batches between the native host
-    # engine and the device pipeline (pipeline.hybrid_feed), merge at
-    # finalize — bit-identical by commutativity, tested in test_hybrid.py
-    hybrid = os.environ.get("NTCARD_ENGINE") == "hybrid"
+    # Engine default: hybrid — work-steal raw batches between the native
+    # host engine and the device pipeline (pipeline.hybrid_feed), merge at
+    # finalize (bit-identical by commutativity, tested in test_hybrid.py).
+    # The tail guard makes hybrid converge to host-only when the device is
+    # slow and to dual-engine when it is fast, so it dominates both
+    # single-engine modes. NTCARD_ENGINE=device|host force one engine.
+    engine = os.environ.get("NTCARD_ENGINE", "hybrid")
+    hybrid = engine == "hybrid"
     if hybrid:
         from ntcard_tpu.io.packing import pack_wire
         from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
         from ntcard_tpu.pipeline import hybrid_feed
 
         hybrid = host_engine_available()
+    # estimated stream length for the hybrid tail guard (read bases plus one
+    # separator per read, over the owned span per batch)
+    total_batches = (N_READS * (READ_LEN + 1)) / (batch_rows * stride)
 
     def run(limit: int | None = None, use_hybrid: bool | None = None) -> tuple[float, dict]:
         import itertools
@@ -135,7 +142,11 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
                 raw = itertools.islice(raw, limit)
             upstream = (
                 pack_wire(b, wire_fmt, stride)
-                for b in hybrid_feed(raw, host_sketch.update)
+                for b in hybrid_feed(
+                    raw,
+                    host_sketch.update,
+                    total_hint=(total_batches if limit is None else limit),
+                )
             )
         else:
             upstream = batches_from_files(
@@ -284,7 +295,10 @@ def main() -> int:
     fq = ensure_data()
     ref_rps = measure_reference(fq)
     _arm_watchdog(float(os.environ.get("NTCARD_BENCH_DEADLINE", 540)), ref_rps)
-    if _device_alive():
+    if os.environ.get("NTCARD_ENGINE") == "host":
+        ours_rps, phases = measure_host_fallback(fq)
+        phases["platform"] = "host-engine (forced via NTCARD_ENGINE)"
+    elif _device_alive():
         ours_rps, phases = measure_ours(fq)
     else:
         ours_rps, phases = measure_host_fallback(fq)

@@ -428,9 +428,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
                 wire_packed=False,
             )
+            # tail-guard hint: input bytes are an upper bound on stream bases
+            # (headers/quality inflate it ~2-4x for FASTQ/SAM) — an
+            # OVERestimate only makes the device claim longer, it never
+            # starves a fast device
+            est_batches = total_size / float(batch_rows * stride)
             batches = (
                 pack_wire(b, wire_fmt, stride)
-                for b in hybrid_feed(raw, host_sketch.update)
+                for b in hybrid_feed(
+                    raw, host_sketch.update, total_hint=est_batches
+                )
             )
         else:
             batches = parallel_batches_from_files(

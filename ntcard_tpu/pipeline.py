@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import sys
 import threading
+import time
 from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -190,6 +191,8 @@ def hybrid_feed(
     raw_batches: Iterable[np.ndarray],
     host_update,
     n_host_workers: int = 1,
+    total_hint: float | None = None,
+    _clock=time.perf_counter,
 ) -> Iterator[np.ndarray]:
     """Share one RAW batch stream between the host engine and the device.
 
@@ -212,17 +215,56 @@ def hybrid_feed(
     Note: the device-claimed batches still need wire packing downstream;
     that runs on the single consuming thread. Hybrid targets the
     slow-transfer regime where the put encode, not packing, binds — on a
-    fast link prefer the plain fused native wire path."""
+    fast link prefer the plain fused native wire path.
+
+    Tail guard: pure work-stealing has one pathology — a slow device that
+    claims a batch near the end of the stream extends the makespan past a
+    host-only run (the host cannot re-steal a committed batch). When
+    ``total_hint`` (estimated batch count) is given, the device side stops
+    claiming once the host engines alone would finish the estimated
+    remainder faster than the device finishes one more batch, judged from
+    the rates both sides have exhibited so far. With the guard, hybrid
+    converges to host-only when the device is slow and to dual-engine when
+    it is fast; without total_hint behavior is the old unconditional steal."""
     lock = threading.Lock()
     stop = threading.Event()
     it = iter(raw_batches)
     errs: list = []
+    t0 = _clock()
+    host_done = [0]  # batches completed by host workers
+    pulled = [0]  # batches claimed by anyone
+    dev_pulled = [0]
+    dev_last_pull = [0.0]
+    dev_batch_sec = [0.0]  # EWMA of consumer inter-pull time ~ device batch cost
 
-    def pull():
+    def pull(for_device: bool = False):
         if stop.is_set():
             return None
+        if for_device and total_hint is not None and dev_pulled[0] >= 2:
+            # enough samples of both rates to judge the tail
+            elapsed = max(_clock() - t0, 1e-9)
+            hd = host_done[0]
+            if hd > 0:
+                host_sec_per_batch = elapsed / hd  # all host workers combined
+                remaining = max(total_hint - pulled[0], 0.0)
+                if remaining * host_sec_per_batch < dev_batch_sec[0]:
+                    return None  # host finishes the tail before one more put
         with lock:
-            return next(it, None)
+            b = next(it, None)
+            if b is not None:
+                pulled[0] += 1
+                if for_device:
+                    now = _clock()
+                    if dev_pulled[0] > 0:
+                        dt = now - dev_last_pull[0]
+                        dev_batch_sec[0] = (
+                            dt
+                            if dev_batch_sec[0] == 0.0
+                            else 0.5 * dev_batch_sec[0] + 0.5 * dt
+                        )
+                    dev_last_pull[0] = now
+                    dev_pulled[0] += 1
+            return b
 
     def worker():
         try:
@@ -231,6 +273,7 @@ def hybrid_feed(
                 if b is None:
                     return
                 host_update(b)
+                host_done[0] += 1
         except BaseException as e:
             errs.append(e)
             stop.set()
@@ -242,10 +285,16 @@ def hybrid_feed(
         w.start()
     try:
         while not stop.is_set():
-            b = pull()
+            b = pull(for_device=True)
             if b is None:
                 break
             yield b
+        # the device side may stop early (tail guard) while the stream still
+        # has items: host workers drain the remainder before we return, so
+        # callers can merge the host sketch immediately. stop is only set in
+        # the finally on a consumer exception / early generator close.
+        for w in workers:
+            w.join()
     finally:
         stop.set()
         for w in workers:

@@ -163,3 +163,47 @@ def test_cli_hybrid_matches_golden(tmp_path):
     assert '"engine": "hybrid"' in r.stderr, r.stderr
     golden = (root / "tests/golden/reads_k12.hist.good").read_bytes()
     assert (tmp_path / "hyb_k12.hist").read_bytes() == golden
+
+
+def test_tail_guard_diverts_tail_from_slow_device():
+    """With total_hint, a device 10x slower than the host stops claiming
+    once the host alone would finish the estimated remainder sooner — every
+    batch is still processed exactly once, and the tail lands host-side."""
+    import time as _t
+
+    n = 40
+    host_items, dev_items = [], []
+
+    def host_update(b):
+        _t.sleep(0.004)
+        host_items.append(b)
+
+    feed = hybrid_feed(iter(range(n)), host_update, total_hint=n)
+    for b in feed:
+        dev_items.append(b)
+        _t.sleep(0.04)  # a put-bound device batch
+    assert sorted(host_items + dev_items) == list(range(n))
+    # guard engaged: the slow device must not have claimed the bulk
+    assert len(dev_items) < n // 2
+    # the generator drained the host workers before finishing
+    assert len(host_items) + len(dev_items) == n
+
+
+def test_tail_guard_correctness_under_fast_device():
+    """A fast device is never starved by the guard (remaining estimate too
+    low only flips work host-side, which stays bit-exact; here rates make
+    the guard condition never bind)."""
+    import time as _t
+
+    n = 30
+    host_items, dev_items = [], []
+
+    def host_update(b):
+        _t.sleep(0.02)
+        host_items.append(b)
+
+    feed = hybrid_feed(iter(range(n)), host_update, total_hint=n)
+    for b in feed:
+        dev_items.append(b)
+    assert sorted(host_items + dev_items) == list(range(n))
+    assert len(dev_items) > n // 2  # fast device takes the bulk

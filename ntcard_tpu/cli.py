@@ -207,7 +207,16 @@ def _use_host_engine(opt, total_size: int) -> bool:
     plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
     if plat in ("", "cpu"):
         return False
-    if total_size >= int(os.environ.get("NTCARD_HOST_MAX_BYTES", 64 << 20)):
+    # big-table runs (default rBits=27 is 512 MB/k) also route to the host
+    # engine: the device big-table update pays a long extraction+scatter
+    # chain per batch (~15 Mbases/s measured at r27 multi-k) while the host
+    # engine's rare sampled updates land in DRAM at full rate (measured 4.6x
+    # the device wall on 90 Mbp -k64,96,128; see README). NTCARD_ENGINE=
+    # device forces the device path back on.
+    big_r = opt.r_bits >= int(os.environ.get("NTCARD_HOST_MIN_RBITS", 20))
+    if not big_r and total_size >= int(
+        os.environ.get("NTCARD_HOST_MAX_BYTES", 64 << 20)
+    ):
         return False
     from ntcard_tpu.models.host_engine import host_engine_available
 

@@ -124,13 +124,20 @@ def test_auto_stays_on_device_for_cpu_platform(monkeypatch):
 def test_auto_picks_host_for_small_inputs_on_accelerator(monkeypatch):
     monkeypatch.setenv("NTCARD_ENGINE", "auto")
     monkeypatch.setenv("JAX_PLATFORMS", "tpu")
-    opt, _ = cli.parse_args(["-k12", "-p", "x", "f.fq"])
+    opt, _ = cli.parse_args(["-k12", "-r16", "-p", "x", "f.fq"])
     assert cli._use_host_engine(opt, 1000)
-    # large input -> device
+    # large input at small r -> device
     assert not cli._use_host_engine(opt, 1 << 40)
+    # big tables (default rBits=27) -> host at ANY size: the device
+    # big-table update is extraction+scatter bound (README measurements)
+    opt27, _ = cli.parse_args(["-k12", "-p", "x", "f.fq"])
+    assert opt27.r_bits == 27
+    assert cli._use_host_engine(opt27, 1 << 40)
     # explicit multi-host -> device
     opt.coordinator = "host:1234"
     assert not cli._use_host_engine(opt, 1000)
+    opt27.coordinator = "host:1234"
+    assert not cli._use_host_engine(opt27, 1000)
 
 
 def test_host_sketch_checkpoint_merges_with_device(tmp_path):

@@ -59,8 +59,9 @@ struct Packer {
   // buffer at pop time (no intermediate batch materialization): the fewest
   // possible passes over every base — translate-in, compose-out.
   std::vector<uint8_t> buf;
-  size_t n = 0;     // committed bytes
-  size_t pend = 0;  // uncommitted in-progress record bytes past n
+  size_t head = 0;  // start of live bytes (pops advance it; grow compacts)
+  size_t n = 0;     // committed bytes at [head, head+n)
+  size_t pend = 0;  // uncommitted in-progress record bytes past head+n
   bool flushed = false;
   long long records = 0, bases = 0;
   // parser state
@@ -82,6 +83,11 @@ struct Packer {
   }
 
   void grow(size_t extra) {
+    if (head + n + pend + extra <= buf.size()) return;
+    if (head) {  // amortized O(1): right after a pop n+pend is ~halo bytes
+      memmove(buf.data(), buf.data() + head, n + pend);
+      head = 0;
+    }
     if (n + pend + extra > buf.size())
       buf.resize(std::max(n + pend + extra, buf.size() * 2));
   }
@@ -93,7 +99,7 @@ struct Packer {
   // append bases of the in-progress record (ASCII -> 2-bit-ish codes)
   void pend_append(const char* s, size_t m) {
     grow(m);
-    uint8_t* dst = buf.data() + n + pend;
+    uint8_t* dst = buf.data() + head + n + pend;
     for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
     pend += m;
   }
@@ -103,7 +109,7 @@ struct Packer {
     records++;
     bases += (long long)pend;
     grow(1);
-    buf[n + pend] = 4;  // N separator
+    buf[head + n + pend] = 4;  // N separator
     n += pend + 1;
     pend = 0;
   }
@@ -119,7 +125,7 @@ struct Packer {
   // the high nibble, row r + B/2 in the low nibble)
   bool pop_batch(uint8_t* out, bool packed) {
     if (ready_count() == 0) return false;
-    const uint8_t* b = buf.data();
+    const uint8_t* b = buf.data() + head;
     if (packed) {
       int half = batch_rows / 2;
       size_t lo_off = (size_t)half * stride;
@@ -134,10 +140,11 @@ struct Packer {
       for (int r = 0; r < batch_rows; r++)
         memcpy(out + (size_t)r * chunk_len, b + (size_t)r * stride, chunk_len);
     }
-    size_t rest = n + pend - batch_span;
-    memmove(buf.data(), buf.data() + batch_span, rest);
+    head += batch_span;
     n -= batch_span;
+    if (n == 0 && pend == 0) head = 0;
     if (flushed && ready_count() == 0) {  // stream fully drained: reset
+      head = 0;
       n = 0;
       flushed = false;
     }
@@ -161,7 +168,7 @@ struct Packer {
     const size_t nslots = (size_t)drows * chunk_len / 2;
     if (nslots % 128) return -1;
     const size_t nr = nslots / 128;
-    const uint8_t* b = buf.data();
+    const uint8_t* b = buf.data() + head;
 
     // pass 1: delta stream (positions strictly increasing in flat order)
     uint16_t* tail = (uint16_t*)(out + (size_t)g * chunk_len);
@@ -214,10 +221,11 @@ struct Packer {
     }
 
     // success: consume the batch from the stream buffer
-    size_t rest = n + pend - batch_span;
-    memmove(buf.data(), buf.data() + batch_span, rest);
+    head += batch_span;
     n -= batch_span;
+    if (n == 0 && pend == 0) head = 0;
     if (flushed && ready_count() == 0) {
+      head = 0;
       n = 0;
       flushed = false;
     }
@@ -243,7 +251,7 @@ struct Packer {
     const size_t nslots = (size_t)drows * stride;
     if (nslots % 128) return -1;
     const size_t nr = nslots / 128;
-    const uint8_t* b = buf.data();
+    const uint8_t* b = buf.data() + head;
     const size_t span = (size_t)batch_rows * stride;
 
     // pass 1: sidecar (N stream offsets, strictly increasing). The owned
@@ -305,10 +313,11 @@ struct Packer {
     memset(trow + halo, 4, stride - halo);
 
     // success: consume the batch from the stream buffer
-    size_t rest = n + pend - batch_span;
-    memmove(buf.data(), buf.data() + batch_span, rest);
+    head += batch_span;
     n -= batch_span;
+    if (n == 0 && pend == 0) head = 0;
     if (flushed && ready_count() == 0) {
+      head = 0;
       n = 0;
       flushed = false;
     }
@@ -399,7 +408,7 @@ struct Packer {
 
   void fasta_append(const char* s, size_t m) {
     grow(m);  // pend == 0 in FASTA mode
-    uint8_t* dst = buf.data() + n;
+    uint8_t* dst = buf.data() + head + n;
     for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
     n += m;
     fa_len += (long long)m;
@@ -410,7 +419,7 @@ struct Packer {
     bases += fa_len;
     fa_len = 0;
     grow(1);
-    buf[n] = 4;  // N separator
+    buf[head + n] = 4;  // N separator
     n += 1;
   }
 
@@ -516,7 +525,7 @@ struct Packer {
       size_t b = (n + batch_span - 1) / batch_span;
       size_t target = (b - 1) * batch_span + need;
       grow(target - n);
-      memset(buf.data() + n, 4, target - n);
+      memset(buf.data() + head + n, 4, target - n);
       n = target;
       flushed = true;
     }

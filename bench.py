@@ -251,12 +251,14 @@ def measure_host_fallback(fq: Path) -> tuple[float, dict]:
         comp_est_hist(state[K]["hist"], 7, R_BITS, 64)
         return time.perf_counter() - t0
 
-    # wall-budgeted best-of-3: the 540s watchdog is still armed and the
-    # failed device probe already spent up to 150s of it
+    # wall-budgeted best-of-N: runs are sub-second but the shared box's
+    # co-tenant load swings single passes ~3x, so take many cheap passes
+    # (the 540s watchdog is still armed and a failed device probe may have
+    # spent 150s of it)
     best = run()
     t0 = time.perf_counter()
-    for _ in range(2):
-        if time.perf_counter() - t0 > 120:
+    for _ in range(14):
+        if time.perf_counter() - t0 > 60:
             break
         best = min(best, run())
     return N_READS / best, {"platform": "host-engine-fallback (device unreachable)"}

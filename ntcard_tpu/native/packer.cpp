@@ -43,6 +43,50 @@ struct CodeInit {
   }
 } code_init;
 
+// ASCII -> code translation, vectorized where the CPU allows: vpermi2b does
+// a 128-entry byte LUT per instruction (ASCII 0..127; the high-bit bytes —
+// never valid bases — blend to N). Exactly CODE[] semantics.
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+
+__attribute__((target("avx512f,avx512bw,avx512vbmi"))) static void
+translate_codes_vbmi(uint8_t* dst, const uint8_t* src, size_t m) {
+  const __m512i lo = _mm512_loadu_si512((const void*)CODE);
+  const __m512i hi = _mm512_loadu_si512((const void*)(CODE + 64));
+  const __m512i vn = _mm512_set1_epi8(4);
+  size_t i = 0;
+  for (; i + 64 <= m; i += 64) {
+    const __m512i v = _mm512_loadu_si512((const void*)(src + i));
+    const __mmask64 high = _mm512_movepi8_mask(v);  // bytes >= 0x80 -> N
+    const __m512i t = _mm512_permutex2var_epi8(lo, v, hi);
+    _mm512_storeu_si512((void*)(dst + i),
+                        _mm512_mask_blend_epi8(high, t, vn));
+  }
+  for (; i < m; i++) dst[i] = CODE[src[i]];
+}
+
+static bool translate_vbmi_ok() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512bw") &&
+                         __builtin_cpu_supports("avx512vbmi");
+  return ok;
+}
+
+static inline void translate_codes(uint8_t* dst, const uint8_t* src,
+                                   size_t m) {
+  if (m >= 64 && translate_vbmi_ok()) {
+    translate_codes_vbmi(dst, src, m);
+    return;
+  }
+  for (size_t i = 0; i < m; i++) dst[i] = CODE[src[i]];
+}
+#else
+static inline void translate_codes(uint8_t* dst, const uint8_t* src,
+                                   size_t m) {
+  for (size_t i = 0; i < m; i++) dst[i] = CODE[src[i]];
+}
+#endif
+
 constexpr int FMT_UNKNOWN = -1, FMT_FASTQ = 0, FMT_FASTA = 1, FMT_SAM = 2,
               FMT_ERR = 3;
 
@@ -50,8 +94,9 @@ struct Packer {
   // geometry
   int chunk_len, batch_rows, kmax, stride;
   size_t batch_span, need;
-  // code stream. Layout: [0, n) committed record bytes (incl. separators)
-  // not yet consumed by pops; [n, n + pend) the in-progress record,
+  // code stream. Layout: [head, head+n) committed record bytes (incl.
+  // separators) not yet consumed by pops; [head+n, head+n+pend) the
+  // in-progress record,
   // translated eagerly but uncommitted (FASTQ truncation semantics: a
   // sequence line whose quality line never arrives is dropped by resetting
   // pend — reference getEfq counts a record only when its 4th line
@@ -99,8 +144,7 @@ struct Packer {
   // append bases of the in-progress record (ASCII -> 2-bit-ish codes)
   void pend_append(const char* s, size_t m) {
     grow(m);
-    uint8_t* dst = buf.data() + head + n + pend;
-    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
+    translate_codes(buf.data() + head + n + pend, (const uint8_t*)s, m);
     pend += m;
   }
 
@@ -408,8 +452,7 @@ struct Packer {
 
   void fasta_append(const char* s, size_t m) {
     grow(m);  // pend == 0 in FASTA mode
-    uint8_t* dst = buf.data() + head + n;
-    for (size_t i = 0; i < m; i++) dst[i] = CODE[(uint8_t)s[i]];
+    translate_codes(buf.data() + head + n, (const uint8_t*)s, m);
     n += m;
     fa_len += (long long)m;
   }

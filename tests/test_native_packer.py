@@ -211,3 +211,20 @@ def test_wire_packed_small_io_chunks(tmp_path):
     assert len(one) == len(tiny)
     for a, b in zip(one, tiny):
         np.testing.assert_array_equal(a, b)
+
+
+def test_nonascii_bytes_translate_as_n(tmp_path):
+    """Sequence bytes outside ASCII (and every non-base ASCII byte) code as
+    N in both paths — exercises the vectorized 128-entry LUT's high-bit
+    blend (native/packer.cpp translate_codes_vbmi) against the Python
+    translate table, over lines long enough to hit the 64-byte vector loop."""
+    odd = bytes(range(0x20, 0x7F)).replace(b">", b"").replace(b"@", b"")
+    hi = bytes(range(0x80, 0x100))
+    seq = (b"ACGTacgtUu" + odd + hi + b"ACGT" * 40)
+    p = tmp_path / "odd.fa"
+    p.write_bytes(b">r1\n" + seq + b"\n>r2\n" + seq[::-1] + b"\n")
+    want = python_batches([p])
+    got = native_batches([p])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)

@@ -140,11 +140,16 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
                 # hybrid generator would leave host workers draining the
                 # whole file underneath the next timed pass
                 raw = itertools.islice(raw, limit)
+
+            def host_update_counted(b, _hs=host_sketch, _st=stages):
+                _hs.update(b)
+                _st["host_batches"] = _st.get("host_batches", 0) + 1
+
             upstream = (
                 pack_wire(b, wire_fmt, stride)
                 for b in hybrid_feed(
                     raw,
-                    host_sketch.update,
+                    host_update_counted,
                     total_hint=(total_batches if limit is None else limit),
                 )
             )
@@ -168,6 +173,7 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
                 else True,
             )
             t_disp += time.perf_counter() - td
+            stages["device_batches"] = stages.get("device_batches", 0) + 1
         tf = time.perf_counter()
         if host_sketch is not None:
             sketch.merge_host_(host_sketch)
@@ -200,6 +206,14 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
             best, phases = t, ph
         if time.perf_counter() - t_start > 120:
             break
+    if hybrid and best < 5.0:
+        # with hybrid as the headline, a device-path regression could hide
+        # behind the host share (the tail guard shifts work host-side);
+        # record a device-only subnumber so the TPU path stays tracked.
+        # Skipped in bad link weather (a single device pass can take 100x
+        # its fair-weather time and would eat the watchdog budget).
+        t_dev, _ = run(use_hybrid=False)
+        phases["device_only_reads_per_sec"] = round(N_READS / t_dev, 1)
     phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
     return N_READS / best, phases
 

@@ -437,10 +437,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
                 wire_packed=False,
             )
-            # tail-guard hint: input bytes are an upper bound on stream bases
-            # (headers/quality inflate it ~2-4x for FASTQ/SAM) — an
-            # OVERestimate only makes the device claim longer, it never
-            # starves a fast device
+            # tail-guard hint: on-disk bytes overestimate the stream for
+            # plain files (headers/quality inflate FASTQ/SAM ~2-4x -> the
+            # device just claims longer) and underestimate it for
+            # compressed/URL inputs — the guard self-disables once the
+            # estimate is proven short (pipeline._tail_guard_should_stop),
+            # so it never starves a fast device either way
             est_batches = total_size / float(batch_rows * stride)
             batches = (
                 pack_wire(b, wire_fmt, stride)

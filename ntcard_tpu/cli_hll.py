@@ -212,8 +212,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             in_files, chunk_len, batch_rows, km_len, n_thrd,
             lenient=True, on_error="skip",
         )
+        # tail-guard hint: on-disk bytes estimate the stream length; the
+        # guard self-disables once the estimate is proven short (compressed
+        # inputs), see pipeline._tail_guard_should_stop
+        est_batches = sum(input_size(f) for f in in_files) / float(
+            batch_rows * stride
+        )
         batches = (
-            pack_wire(b, wire_fmt, stride) for b in hybrid_feed(raw, host_sketch.update)
+            pack_wire(b, wire_fmt, stride)
+            for b in hybrid_feed(
+                raw, host_sketch.update, total_hint=est_batches
+            )
         )
     else:
         batches = parallel_batches_from_files(

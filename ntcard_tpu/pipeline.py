@@ -187,6 +187,30 @@ def parallel_batches_from_files(
         raise errs[0]
 
 
+def _tail_guard_should_stop(
+    total_hint: float | None,
+    pulled: int,
+    host_done: int,
+    elapsed: float,
+    dev_batch_sec: float,
+) -> bool:
+    """Decide whether the device side of hybrid_feed should stop claiming.
+
+    True when the host engines alone would finish the *estimated* remaining
+    stream faster than the device finishes one more (best-case) batch. The
+    hint is an estimate: once `pulled` reaches it the stream has proven it
+    an underestimate (compressed inputs report on-disk bytes; URLs report
+    0), so the guard disables itself rather than starving a possibly-fast
+    device for the unknown remainder."""
+    if total_hint is None or host_done <= 0 or dev_batch_sec <= 0.0:
+        return False
+    remaining = total_hint - pulled
+    if remaining <= 0:
+        return False  # hint exhausted: distrust it
+    host_sec_per_batch = max(elapsed, 1e-9) / host_done  # all workers combined
+    return remaining * host_sec_per_batch < dev_batch_sec
+
+
 def hybrid_feed(
     raw_batches: Iterable[np.ndarray],
     host_update,
@@ -231,24 +255,27 @@ def hybrid_feed(
     it = iter(raw_batches)
     errs: list = []
     t0 = _clock()
-    host_done = [0]  # batches completed by host workers
+    host_done = [0]  # batches completed by host workers (under lock)
     pulled = [0]  # batches claimed by anyone
     dev_pulled = [0]
     dev_last_pull = [0.0]
-    dev_batch_sec = [0.0]  # EWMA of consumer inter-pull time ~ device batch cost
+    dev_batch_sec = [0.0]  # MIN observed consumer inter-pull time (see guard)
 
     def pull(for_device: bool = False):
         if stop.is_set():
             return None
-        if for_device and total_hint is not None and dev_pulled[0] >= 2:
-            # enough samples of both rates to judge the tail
-            elapsed = max(_clock() - t0, 1e-9)
-            hd = host_done[0]
-            if hd > 0:
-                host_sec_per_batch = elapsed / hd  # all host workers combined
-                remaining = max(total_hint - pulled[0], 0.0)
-                if remaining * host_sec_per_batch < dev_batch_sec[0]:
-                    return None  # host finishes the tail before one more put
+        if (
+            for_device
+            and dev_pulled[0] >= 2  # enough samples of both rates
+            and _tail_guard_should_stop(
+                total_hint,
+                pulled[0],
+                host_done[0],
+                _clock() - t0,
+                dev_batch_sec[0],
+            )
+        ):
+            return None  # host finishes the tail before one more put
         with lock:
             b = next(it, None)
             if b is not None:
@@ -257,10 +284,16 @@ def hybrid_feed(
                     now = _clock()
                     if dev_pulled[0] > 0:
                         dt = now - dev_last_pull[0]
+                        # track the BEST (minimum) observed device batch time:
+                        # the tunneled link's per-batch cost spikes up to
+                        # 100x transiently, and a one-sided average would
+                        # make the (irreversible) cutoff fire on one stall;
+                        # the optimistic estimate only stops the device when
+                        # even a best-case batch cannot beat the host tail
                         dev_batch_sec[0] = (
                             dt
                             if dev_batch_sec[0] == 0.0
-                            else 0.5 * dev_batch_sec[0] + 0.5 * dt
+                            else min(dev_batch_sec[0], dt)
                         )
                     dev_last_pull[0] = now
                     dev_pulled[0] += 1
@@ -273,7 +306,8 @@ def hybrid_feed(
                 if b is None:
                     return
                 host_update(b)
-                host_done[0] += 1
+                with lock:
+                    host_done[0] += 1
         except BaseException as e:
             errs.append(e)
             stop.set()

@@ -165,6 +165,30 @@ def test_cli_hybrid_matches_golden(tmp_path):
     assert (tmp_path / "hyb_k12.hist").read_bytes() == golden
 
 
+def test_tail_guard_predicate():
+    """The guard's decision math, unit-tested deterministically (the
+    threaded integration tests below only pin plumbing — with real sleeps
+    the split itself is timing-dependent)."""
+    from ntcard_tpu.pipeline import _tail_guard_should_stop
+
+    # host does 10 batches/s; 5 remain (0.5 s of host work); device batch
+    # costs 1 s -> stop
+    assert _tail_guard_should_stop(40, 35, 10, 1.0, 1.0)
+    # 20 remain (2 s of host work) > 1 s device batch -> keep claiming
+    assert not _tail_guard_should_stop(40, 20, 10, 1.0, 1.0)
+    # fast device (0.01 s/batch) is never stopped until the very tail
+    assert not _tail_guard_should_stop(40, 35, 10, 1.0, 0.01)
+    # no hint -> never stop
+    assert not _tail_guard_should_stop(None, 35, 10, 1.0, 1.0)
+    # hint proven an underestimate (compressed input: pulled >= hint) ->
+    # distrust it, keep claiming
+    assert not _tail_guard_should_stop(40, 40, 10, 1.0, 100.0)
+    assert not _tail_guard_should_stop(40, 55, 10, 1.0, 100.0)
+    # no host throughput observed yet / no device sample -> keep claiming
+    assert not _tail_guard_should_stop(40, 2, 0, 1.0, 1.0)
+    assert not _tail_guard_should_stop(40, 2, 10, 1.0, 0.0)
+
+
 def test_tail_guard_diverts_tail_from_slow_device():
     """With total_hint, a device 10x slower than the host stops claiming
     once the host alone would finish the estimated remainder sooner — every
@@ -183,7 +207,10 @@ def test_tail_guard_diverts_tail_from_slow_device():
         dev_items.append(b)
         _t.sleep(0.04)  # a put-bound device batch
     assert sorted(host_items + dev_items) == list(range(n))
-    # guard engaged: the slow device must not have claimed the bulk
+    # guard engaged: with host ~10x the device, the cutoff fires while a
+    # tail remains, so the device never touches the last batches (plain
+    # work-stealing would leave the device racing for them to the end)
+    assert max(dev_items) < n - 1, dev_items
     assert len(dev_items) < n // 2
     # the generator drained the host workers before finishing
     assert len(host_items) + len(dev_items) == n

@@ -192,12 +192,22 @@ def quad2_ok(batch_rows: int, stride: int) -> bool:
 def pack_rows_quad2(batch: np.ndarray, stride: int) -> Optional[np.ndarray]:
     """quad2-pack a [B, L] uint8 code batch (L = stride + halo) to
     [B/4 + B/128 + 1, stride], or None when the geometry is inadmissible or
-    the N count overflows the sidecar slots (callers then fall back)."""
+    the N count overflows the sidecar slots (callers then fall back).
+
+    PRECONDITION: rows must be consecutive spans of one code stream —
+    batch[b, S:] == batch[b+1, :halo] for every b (the device rebuilds each
+    row's halo from the *next row's owned span*, so only the owned [:, :S]
+    spans are encoded). StreamPacker/NativePacker batches satisfy this by
+    construction; an arbitrary [B, L] batch violating it decodes to
+    different codes with no error — validated here (cheap row-shift
+    compare) with a None return so such callers fall back to nibble."""
     B, L = batch.shape
     S = stride
     halo = L - S
     if halo < 1 or halo > S or not quad2_ok(B, S):
         return None
+    if not np.array_equal(batch[:-1, S:], batch[1:, :halo]):
+        return None  # not consecutive stream spans: quad2 cannot encode it
     g = B // 4
     drows = quad2_delta_rows(B)
     nslots = drows * S

@@ -76,8 +76,11 @@ def _table_add(table, idx, r_bits):
     r_buck = 1 << r_bits
     sent = 2 * r_buck
 
-    if r_bits <= 17:
-        # table fits VMEM: in-kernel histogram, guarded by sampled density
+    if r_bits <= 16:
+        # table fits VMEM: in-kernel histogram, guarded by sampled density.
+        # r_bits=17 is excluded: hist_add_pallas's (fpos << 18) | idx packed
+        # encoding collides with its exhaustion sentinel there (a legal
+        # update would be silently dropped); it takes the compact path.
         thresh = max(idx.size // 16, 1)  # ~5x the expected sBits=7 density
         n = jnp.sum((idx != np.int32(sent)).astype(jnp.int32))
         return jax.lax.cond(

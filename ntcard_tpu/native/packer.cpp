@@ -1146,8 +1146,12 @@ void ntcard_host_update(const uint8_t* codes, long long rows, long long row_len,
     });
   }
   for (auto& th : threads) th.join();
+  // atomic: the table updates above are relaxed-atomic, so concurrent
+  // update() calls on one sketch are legal — the F1 fold must not be the
+  // one plain RMW that loses counts under that (latent) concurrency
   for (int j = 0; j < nk; j++)
-    for (int t = 0; t < nt; t++) f1[j] += f1_local[t][j];
+    for (int t = 0; t < nt; t++)
+      __atomic_fetch_add(&f1[j], f1_local[t][j], __ATOMIC_RELAXED);
 }
 
 // One batch step of the nthll HyperLogLog sketch on the host.

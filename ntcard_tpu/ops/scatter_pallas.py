@@ -126,11 +126,14 @@ def hist_add_pallas(
     """Sparse histogram of emit indices (any shape, int32 in [0, 2^(r_bits+1)],
     sentinel 2*r_buck means "no update") -> int32[2*r_buck + 1] counts, bit-
     identical to `zeros(2*r_buck+1).at[idx].add(1, mode="drop")` except that
-    the sentinel bin stays 0 (callers never read it). Requires r_bits <= 17
-    (packed-encoding and VMEM-residency limits). ``block_rows`` (multiple of
-    16) is a tuning/test knob for the per-grid-step VMEM tile."""
-    if not (1 <= r_bits <= 17):
-        raise ValueError(f"hist_add_pallas requires r_bits in [1, 17], got {r_bits}")
+    the sentinel bin stays 0 (callers never read it). Requires r_bits <= 16:
+    at r_bits=17 the packed encoding (fpos << 18) | idx reaches exactly
+    _BIG for fpos=8191, idx=2^18-1 — a legal s1-sample bucket would collide
+    with the exhaustion sentinel and be silently dropped (r_bits=17 routes
+    to compact_pallas instead, models/sketch.py). ``block_rows`` (multiple
+    of 16) is a tuning/test knob for the per-grid-step VMEM tile."""
+    if not (1 <= r_bits <= 16):
+        raise ValueError(f"hist_add_pallas requires r_bits in [1, 16], got {r_bits}")
     if block_rows % 16:
         raise ValueError(f"block_rows ({block_rows}) must be a multiple of 16")
     r_buck = 1 << r_bits

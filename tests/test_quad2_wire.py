@@ -165,3 +165,20 @@ def test_pallas_backend_accepts_quad2(monkeypatch):
     finally:
         monkeypatch.delenv("NTCARD_KERNEL", raising=False)
         jax.clear_caches()
+
+
+def test_quad2_rejects_nonconsecutive_rows():
+    """pack_rows_quad2's decode contract only holds when rows are
+    consecutive spans of one stream (batch[b, S:] == batch[b+1, :halo]);
+    an arbitrary batch violating it must fall back (None), not silently
+    encode different codes (ADVICE r2)."""
+    S, halo = 128, 16
+    bad = rng.integers(0, 4, (256, S + halo), dtype=np.uint8)
+    assert pack_rows_quad2(bad, S) is None
+    stream = rng.integers(0, 4, 256 * S + halo, dtype=np.uint8)
+    good = np.stack([stream[i * S : i * S + S + halo] for i in range(256)])
+    wire = pack_rows_quad2(good, S)
+    assert wire is not None
+    np.testing.assert_array_equal(
+        np.asarray(unpack_quad2(jnp.asarray(wire), halo)), good.T
+    )

@@ -141,3 +141,21 @@ def test_update_sparse_path_bitexact(monkeypatch, s_bits, r_bits):
     # product never reads it (models/sketch.finalize slices it off)
     np.testing.assert_array_equal(got_t[:, : 2 * r_buck], base_t[:, : 2 * r_buck])
     assert got_f1 == base_f1
+
+def test_r17_collision_routes_to_compact(monkeypatch):
+    """At r_bits=17 the hist packed encoding (fpos << 18) | idx equals the
+    _BIG exhaustion sentinel for fpos=8191, idx=2^18-1 — a legal s1-sample
+    bucket whose update the hist kernel silently dropped (ADVICE r2).
+    hist_add_pallas must reject r17 and _table_add must route it to the
+    compact path, which counts that exact element."""
+    r_bits = 17
+    r_buck = 1 << r_bits
+    sent = 2 * r_buck
+    idx = np.full((8, 1024), sent, np.int32)
+    idx[7, 1023] = 2 * r_buck - 1  # window-flat position 8191, max bucket
+    with pytest.raises(ValueError):
+        hist_add_pallas(jnp.asarray(idx), r_bits, interpret=True, block_rows=16)
+    monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
+    table = jnp.zeros((2 * r_buck + 1,), jnp.int32)
+    got = np.asarray(sketch_mod._table_add(table, jnp.asarray(idx), r_bits))
+    assert got[2 * r_buck - 1] == 1

@@ -58,8 +58,13 @@ def test_stack_matches_sequential_quad2():
     a = CountTableSketch(ks, 7, 10, stride)
     b = CountTableSketch(ks, 7, 10, stride)
     batches = []
+    B = 1024  # quad2_ok needs (B/128 * stride) % 128 == 0
     for _ in range(4):
-        x = _codes(1024, L)  # quad2_ok needs (B/128 * stride) % 128 == 0
+        # rows must be consecutive spans of one code stream (the quad2
+        # precondition validated by pack_rows_quad2): carve overlapping
+        # windows out of a single stream like StreamPacker does
+        s = _codes(1, B * stride + (L - stride))[0]
+        x = np.stack([s[b * stride : b * stride + L] for b in range(B)])
         w = pack_rows_quad2(x, stride)
         assert w is not None
         batches.append(w)

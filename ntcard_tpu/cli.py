@@ -243,11 +243,12 @@ def _main_host(opt, in_files, s_time) -> int:
     if opt.chunk_len:
         chunk_len = opt.chunk_len
     stride = aligned_stride(chunk_len, kmax)
-    # -t keeps its reference meaning (decode fan-out hint); the engine's
-    # in-batch row threading always uses the machine (like the device path
-    # always uses the whole chip)
+    # -t caps the engine's in-batch row threads too (reference semantics:
+    # -t is omp_set_num_threads for the WHOLE run, ntcard.cpp:441-443 — a
+    # -t1 user expects one worker, not one decode thread plus all cores)
     sketch = HostCountTableSketch(
-        ks, opt.s_bits, opt.r_bits, stride, gap_positions=_gap_positions(opt)
+        ks, opt.s_bits, opt.r_bits, stride, gap_positions=_gap_positions(opt),
+        n_threads=opt.n_thrd,
     )
     metrics = Metrics(opt.metrics)
     stats: dict = {}

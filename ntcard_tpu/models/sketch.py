@@ -112,56 +112,16 @@ def _table_add(table, idx, r_bits):
     )
 
 
-def _tables_add_combined(tables, idx_list, r_bits):
-    """Multi-k big-table update: per-k compaction, one flat-offset scatter.
-
-    Each k's emit stream is compacted on its own (the kernels run inside
-    ONE jit program, so this costs no extra dispatches); the tiny surviving
-    buffers are shifted into disjoint [k*T, (k+1)*T) ranges of the
-    flattened [nK*T] table (T = 2*r_buck+1) and applied with one scatter.
-    Offsetting the cap-sized outputs instead of the full [nK*n] stream
-    avoids materializing a second full-size index array in HBM (~96 MB per
-    3-k r27 batch with the old where+concat formulation). Density overflow
-    of any k falls back to per-k plain scatters (bit-identical)."""
-    from ntcard_tpu.ops.scatter_pallas import compact_pallas
-
-    mode = _sparse_mode()
-    interp = mode == "interpret"
-    nk, T = tables.shape
-    r_buck = 1 << r_bits
-    sent = np.int32(2 * r_buck)
-    n = idx_list[0].size
-    # same cap reasoning as _table_add's compact path: ~1.56% slots vs the
-    # ~1.17% expected sampled density, and small enough to stay VMEM-friendly
-    cap = min(max(n // 64, 128), 1 << 20)
-    cap = (cap + 127) // 128 * 128
-    outs, oks = [], []
-    for i, ix in enumerate(idx_list):
-        vals, cnt = compact_pallas(ix.reshape(-1), sent, cap, interpret=interp)
-        # surviving entries are in [0, 2*r_buck); empty slots are -1 and
-        # must stay out-of-range after the shift
-        outs.append(jnp.where(vals >= 0, vals + np.int32(i * T), np.int32(-1)))
-        oks.append(cnt <= np.int32(cap))
-    flat_vals = jnp.concatenate(outs)
-
-    def sparse(t):
-        return t.reshape(-1).at[flat_vals].add(1, mode="drop").reshape(nk, T)
-
-    def fallback(t):
-        return jnp.stack(
-            [t[i].at[ix].add(1, mode="drop") for i, ix in enumerate(idx_list)]
-        )
-
-    if os.environ.get("NTCARD_SCATTER") == "pallas-noguard":
-        # perf-analysis probe only: measures whether the cond costs a
-        # GiB-scale table copy (forfeits the overflow fallback)
-        return sparse(tables)
-    return jax.lax.cond(jnp.all(jnp.stack(oks)), sparse, fallback, tables)
-
-
 def _update_impl(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False):
-    """One batch step: tables [nK, 2*rbuck+1] int32; f1s [nK, 2] uint32
-    (hi, lo) exact 64-bit F1 accumulators.
+    """One batch step: tables = tuple of nK int32[2*rbuck+1] arrays; f1s
+    [nK, 2] uint32 (hi, lo) exact 64-bit F1 accumulators.
+
+    Tables are SEPARATE per-k buffers, never a stacked [nK, T] array: on
+    this TPU a scatter whose operand exceeds ~2.1 GiB falls off a cliff
+    (measured r27 3-k: 198 ms for one combined flat-table scatter of 344k
+    updates vs 37 ms for the same updates as three per-k 1.07 GB scatters,
+    tools/probe_r27.py), and re-stacking per-k results would copy the
+    GiB-scale tables every batch.
 
     The +1 table row is the sentinel dump for unsampled/invalid windows.
 
@@ -178,16 +138,9 @@ def _update_impl(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions,
     for i, k in enumerate(ks):
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
         new_f1s.append(jnp.stack([hi, lo]))
-    flat_fits_i32 = len(ks) * (2 ** (r_bits + 1) + 1) < 2**31
-    if len(ks) > 1 and r_bits > 17 and flat_fits_i32 and _sparse_mode() != "off":
-        # big-table multi-k: ONE compaction + ONE scatter over all k values
-        # (per-k kernels pay the per-dispatch and big-table-scatter fixed
-        # costs nK times; the flat-offset combine pays them once)
-        new_tables = _tables_add_combined(tables, [idx[k] for k in ks], r_bits)
-    else:
-        new_tables = jnp.stack(
-            [_table_add(tables[i], idx[k], r_bits) for i, k in enumerate(ks)]
-        )
+    new_tables = tuple(
+        _table_add(tables[i], idx[k], r_bits) for i, k in enumerate(ks)
+    )
     return new_tables, jnp.stack(new_f1s)
 
 
@@ -226,7 +179,7 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
         f1 = (flat != sent1).sum(dtype=jnp.uint32)
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))
-    return jnp.stack(new_tables), jnp.stack(new_f1s)
+    return tuple(new_tables), jnp.stack(new_f1s)
 
 
 _update = partial(
@@ -259,8 +212,9 @@ def _update_stack(tables, f1s, stack, ks, stride, s_bits, r_bits, mask_positions
 @partial(jax.jit, donate_argnums=(0,))
 def _merge_add(a, b):
     # donate only `a` (the output aliases it); donating `b` too is unusable
-    # and makes every run print a donation warning
-    return a + b
+    # and makes every run print a donation warning. tree.map handles both
+    # the per-k table tuples and plain arrays (f1s, sharded stacks).
+    return jax.tree.map(jnp.add, a, b)
 
 
 @jax.jit
@@ -285,22 +239,22 @@ def _hist_row_device_small(row, nbins):
 
 
 def _counter_hists_device(tables, r_buck, nbins):
-    """[nK, 2*r_buck+1] int32 -> [nK, 2, nbins] int32 — computed on device
-    so only KBs cross to the host instead of the (up to 1 GB/k) table
-    itself. One dispatch per (k, sample) row keeps the peak HBM temp at one
-    4*r_buck-byte slice instead of a full-table copy (at the default
-    rBits=27 and 3 k values the all-at-once variant added 3.2 GiB on top of
-    the live tables and exhausted a 16 GB part). Small bin counts use the
-    scatter-free compare-reduce kernel; a (rare) large cov_max falls back
-    to the full 65536-bin scatter."""
-    nk = tables.shape[0]
+    """sequence of nK int32[2*r_buck+1] tables -> [nK, 2, nbins] int32 —
+    computed on device so only KBs cross to the host instead of the (up to
+    1 GB/k) table itself. One dispatch per (k, sample) row keeps the peak
+    HBM temp at one 4*r_buck-byte slice instead of a full-table copy (at
+    the default rBits=27 and 3 k values the all-at-once variant added 3.2
+    GiB on top of the live tables and exhausted a 16 GB part). Small bin
+    counts use the scatter-free compare-reduce kernel; a (rare) large
+    cov_max falls back to the full 65536-bin scatter."""
+    nk = len(tables)
     fn = (
         partial(_hist_row_device_small, nbins=nbins)
         if nbins <= 1024
         else _hist_row_device
     )
     rows = [
-        fn(tables[i, s * r_buck : (s + 1) * r_buck])
+        fn(tables[i][s * r_buck : (s + 1) * r_buck])
         for i in range(nk)
         for s in range(2)
     ]
@@ -308,24 +262,26 @@ def _counter_hists_device(tables, r_buck, nbins):
 
 
 def _counter_hists(tables, r_buck, nbins: int = 65536):
-    """Counter-value histograms over bins 0..nbins-1 ([nK, 2, nbins] int32),
-    routed by where the table lives: XLA's CPU scatter is serial and
-    pathologically slow at rBits=27 (tens of seconds for 2^28 elements), so
-    host tables go through the native threaded histogram / np.bincount
-    (~0.5 s/GiB); on accelerators the table never crosses the (slow)
-    device->host link — small nbins (the estimator reads cov_max+1 bins)
-    use a scatter-free compare-reduce."""
-    dev = next(iter(tables.devices())) if hasattr(tables, "devices") else None
+    """Counter-value histograms over bins 0..nbins-1 ([nK, 2, nbins] int32)
+    of a sequence of nK per-k tables (int32[2*r_buck(+1)] each), routed by
+    where they live: XLA's CPU scatter is serial and pathologically slow at
+    rBits=27 (tens of seconds for 2^28 elements), so host tables go through
+    the native threaded histogram / np.bincount (~0.5 s/GiB); on
+    accelerators the table never crosses the (slow) device->host link —
+    small nbins (the estimator reads cov_max+1 bins) use a scatter-free
+    compare-reduce."""
+    t0 = tables[0]
+    dev = next(iter(t0.devices())) if hasattr(t0, "devices") else None
     if dev is not None and dev.platform != "cpu":
         return _counter_hists_device(tables, r_buck, nbins)
     from ntcard_tpu import native
 
-    arr = np.asarray(tables)  # zero-copy view of a host-resident jax array
-    nk = tables.shape[0]
+    nk = len(tables)
     out = np.empty((nk, 2, 65536), np.int64)
     for i in range(nk):
+        arr = np.asarray(tables[i])  # zero-copy view when host-resident
         for s in range(2):
-            row = arr[i, s * r_buck : (s + 1) * r_buck]  # contiguous view
+            row = arr[s * r_buck : (s + 1) * r_buck]  # contiguous view
             h = native.hist_u16(row)
             if h is None:
                 h = np.bincount(row.astype(np.uint16), minlength=65536)
@@ -349,7 +305,7 @@ class ChainedCountTableSketch:
         # so the 4 GiB default deliberately collapses r27 multi-k to one
         # chain while r<=20 runs keep two.
         budget = int(os.environ.get("NTCARD_CHAIN_TABLE_BYTES", 4 << 30))
-        table_bytes = probe.tables.size * 4
+        table_bytes = sum(int(t.size) for t in probe.tables) * 4
         n_chains = max(1, min(n_chains, budget // max(table_bytes, 1)))
         self._chains = [probe] + [
             CountTableSketch(*args, **kwargs) for _ in range(n_chains - 1)
@@ -409,7 +365,11 @@ class CountTableSketch:
         self.gap_positions = tuple(gap_positions) if gap_positions else None
         self.r_buck = 1 << r_bits
         nk = len(self.ks)
-        self.tables = jnp.zeros((nk, 2 * self.r_buck + 1), jnp.int32)
+        # per-k SEPARATE table buffers (see _update_impl: a stacked [nK, T]
+        # operand crosses the ~2.1 GiB scatter cliff at the default rBits=27)
+        self.tables = tuple(
+            jnp.zeros((2 * self.r_buck + 1,), jnp.int32) for _ in range(nk)
+        )
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
 
@@ -463,7 +423,7 @@ class CountTableSketch:
             int(z["stride"]),
             gap_positions=gap,
         )
-        self.tables = jnp.asarray(z["tables"])
+        self.tables = tuple(jnp.asarray(z["tables"][i]) for i in range(len(self.ks)))
         self._f1_loaded = [int(v) for v in z["f1s"]]
         return self
 
@@ -496,9 +456,12 @@ class CountTableSketch:
         if mine != theirs:
             raise ValueError(f"sketch configs differ; cannot merge ({mine} vs {theirs})")
         nk = len(self.ks)
-        t32 = np.zeros((nk, 2 * self.r_buck + 1), np.int32)
-        t32[:, : 2 * self.r_buck] = host.tables
-        self.tables = _merge_add(self.tables, jnp.asarray(t32))
+        padded = []
+        for i in range(nk):
+            t32 = np.zeros((2 * self.r_buck + 1,), np.int32)
+            t32[: 2 * self.r_buck] = host.tables[i]
+            padded.append(jnp.asarray(t32))
+        self.tables = _merge_add(self.tables, tuple(padded))
         self._f1_loaded = [a + int(b) for a, b in zip(self._f1_loaded, host.f1s)]
 
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
@@ -516,6 +479,6 @@ class CountTableSketch:
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}
             if return_table:
-                t = np.asarray(self.tables[i, : 2 * self.r_buck]).astype(np.uint16)
+                t = np.asarray(self.tables[i][: 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)
         return out

@@ -97,7 +97,8 @@ def merged_finalize(sketch, cov_max: int = 65535):
 
     from ntcard_tpu.models.sketch import _counter_hists
 
-    local = np.asarray(sketch.tables)  # [nK, 2*rbuck+1] int32
+    # stack the per-k table tuple to one [nK, 2*rbuck+1] host array
+    local = np.stack([np.asarray(t) for t in sketch.tables])
     gathered = multihost_utils.process_allgather(local)  # [P, nK, 2*rbuck+1]
     # sum in int64 then wrap mod 2^16 — all the estimator ever reads
     # (_counter_hists masks to uint16 anyway), and it keeps the cast to

@@ -105,7 +105,8 @@ def test_merge_host_uint16_wrap():
     host = _host_sketch((12,), 7, 4, 120)
     host.tables[0, 3] = 65535  # forged near-wrap host count
     host.f1s[0] = 7
-    dev.tables = dev.tables.at[0, 3].add(2)  # device adds 2 -> wraps to 1
+    # device adds 2 -> wraps to 1 (tables are a per-k tuple of buffers)
+    dev.tables = (dev.tables[0].at[3].add(2),) + dev.tables[1:]
     dev.merge_host_(host)
     state = dev.finalize(cov_max=1000, return_table=True)
     assert state[12]["table"][0, 3] == 1  # (65535 + 2) % 65536

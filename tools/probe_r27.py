@@ -62,16 +62,24 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"# device={dev} phase={phase} stride={stride} cap={cap}", flush=True)
 
+    def drain(a):
+        # slice ON DEVICE before np.asarray: np.asarray(full_table) would
+        # fetch the whole GiB-scale buffer over the ~30 MB/s tunnel and
+        # dominate the measurement (this exact bug produced bogus 5-20
+        # s/batch readings for every big-table phase)
+        leaf = jax.tree.leaves(a)[0]
+        return np.asarray(leaf.reshape(-1)[:8])
+
     def chained(step, batches, acc_factory):
         # fresh accumulators for warmup and the timed pass: the production
         # step donates its table buffers, so a warmup acc cannot be reused
         a = step(batches[0], acc_factory())
-        _ = np.asarray(jax.tree.leaves(a)[0]).reshape(-1)[:8]  # compile+drain
+        _ = drain(a)  # compile+drain
         a = acc_factory()
         t0 = time.perf_counter()
         for b in batches:
             a = step(b, a)
-        _ = np.asarray(jax.tree.leaves(a)[0]).reshape(-1)[:8]
+        _ = drain(a)
         return (time.perf_counter() - t0) / len(batches)
 
     if phase in ("hash", "compact"):
@@ -118,6 +126,56 @@ def main() -> int:
             return S._update(t, f, c, KS, stride, S_BITS, R_BITS, None, False)
 
         dt = chained(step, batches, acc_factory)
+
+    elif phase in ("scatter1k", "scatter2k", "scatter3sep"):
+        # table-operand-size sweep: is the catastrophic combined-scatter cost
+        # (17.8 s/batch for 344k updates into the 3-k 3.2 GiB flat table) a
+        # >2^31-byte operand cliff? 1k = one [T] table (1.07 GB), 2k = one
+        # [2T] flat table (2.1 GiB), 3sep = three separate [T] tables updated
+        # in one program (the proposed production layout).
+        from functools import partial
+
+        nk_probe = {"scatter1k": 1, "scatter2k": 2, "scatter3sep": 3}[phase]
+        if phase == "scatter3sep":
+            batches = [
+                tuple(
+                    jnp.asarray(rng.integers(0, 2 * r_buck, cap, dtype=np.int32))
+                    for _ in range(3)
+                )
+                for _ in range(nb)
+            ]
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def step(vs, ts):
+                return tuple(t.at[v].add(1, mode="drop") for t, v in zip(ts, vs))
+
+            dt = chained(
+                step, batches, lambda: tuple(jnp.zeros((T,), jnp.int32) for _ in range(3))
+            )
+            mbps = n_windows / dt / 1e6
+            print(
+                f"{phase}: {dt * 1e3:.1f} ms/batch  ({mbps:.1f} Mwindows/s, "
+                f"{nb} distinct batches)",
+                flush=True,
+            )
+            return 0
+        batches = [
+            jnp.asarray(
+                np.concatenate(
+                    [
+                        rng.integers(0, 2 * r_buck, cap, dtype=np.int64) + i * T
+                        for i in range(nk_probe)
+                    ]
+                ).astype(np.int32)
+            )
+            for _ in range(nb)
+        ]
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(v, t):
+            return t.at[v].add(1, mode="drop")
+
+        dt = chained(step, batches, lambda: jnp.zeros((nk_probe * T,), jnp.int32))
 
     elif phase in ("scatter", "scattercond"):
         # combined small scatter into the flattened 3-k big table: cap*nk

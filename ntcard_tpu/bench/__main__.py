@@ -69,7 +69,7 @@ def bench_kernel():
         @jax.jit
         def step_sparse(codes, table, k=k, stride=stride):
             idx, _ = sketch_scan(codes, (k,), stride, 7, 16)
-            return _table_add(table, idx[k], 16)
+            return _table_add(table, idx[k], 16)[0]
 
         dt_sc = _chained(step_scatter, batches, table0)
         dt_sp = _chained(step_sparse, batches, table0)

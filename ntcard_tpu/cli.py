@@ -367,27 +367,29 @@ def main(argv: Optional[List[str]] = None) -> int:
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
     # wire format: the 2-bit quad wire halves H2D bytes (the tunneled-link
-    # bottleneck) for the single-device sketch; the sharded sketch splits
-    # batches by rows, which the quad delta sidecar does not permit, so it
-    # stays on the nibble wire. NTCARD_WIRE=nibble opts out.
+    # bottleneck). The sharded sketch packs each shard's row block as its
+    # OWN wire (per-shard sidecars, io.packing.pack_shard_wires), so quad /
+    # quad2 / superbatching apply to every sketch flavor; admissibility is
+    # judged on the per-shard geometry. NTCARD_WIRE=nibble opts out.
     import os as _os
 
-    from ntcard_tpu.io.packing import quad2_ok, quad_ok, wire_mode_of
+    from ntcard_tpu.io.packing import pack_shard_wires, quad2_ok, quad_ok, wire_mode_of
 
+    sharded = n_procs == 1 and n_dev > 1
+    rows_ps = batch_rows // n_dev if sharded else batch_rows  # rows per wire
+    private_sketch = not sharded
     wire_env = _os.environ.get("NTCARD_WIRE", "quad")
-    private_sketch = n_procs > 1 or n_dev == 1  # row-sharding needs nibble
-    if wire_env == "quad2" and private_sketch and quad2_ok(batch_rows, stride):
+    if wire_env == "quad2" and quad2_ok(rows_ps, stride):
         wire_fmt = "quad2"
-    elif wire_env in ("quad", "quad2") and private_sketch and quad_ok(batch_rows, chunk_len):
+    elif wire_env in ("quad", "quad2") and quad_ok(rows_ps, chunk_len):
         wire_fmt = "quad"
     else:
         wire_fmt = True
     use_quad = wire_fmt in ("quad", "quad2")
     halo = chunk_len - stride
     # NTCARD_SUPERBATCH=n: fold n wire batches per dispatch with an on-device
-    # scan (one put + one dispatch amortize per-call fixed costs); the
-    # row-sharded sketch splits single batches and does not take stacks
-    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1")) if private_sketch else 1
+    # scan (one put + one dispatch amortize per-call fixed costs)
+    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1"))
 
     # NTCARD_ENGINE=hybrid: work-steal the raw batch stream between the
     # native host engine and the device pipeline (pipeline.hybrid_feed) and
@@ -451,21 +453,38 @@ def main(argv: Optional[List[str]] = None) -> int:
                     raw, host_sketch.update, total_hint=est_batches
                 )
             )
+        elif sharded:
+            # raw batches, then one complete wire per shard row-block (the
+            # quad-family sidecars are per-wire, so each shard gets its own)
+            raw = parallel_batches_from_files(
+                in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+                wire_packed=False,
+            )
+            batches = (
+                pack_shard_wires(b, n_dev, wire_fmt if use_quad else True, stride)
+                for b in raw
+            )
         else:
             batches = parallel_batches_from_files(
                 in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
                 wire_packed=wire_fmt,
             )
         for batch in device_prefetch(
-            superbatch(batches, n_super),
+            superbatch(batches, n_super, axis=1 if sharded else 0),
             stage_times=stages if metrics.enabled else None,
         ):
             with metrics.phase("pipeline.dispatch"):
-                wire0 = batch if batch.ndim == 2 else batch[0]
-                sketch.update(
-                    batch,
-                    packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
-                )
+                if sharded:
+                    wire0 = batch[0] if batch.ndim == 3 else batch[0, 0]
+                    sketch.update_shards(
+                        batch, packed=wire_mode_of(wire0, rows_ps, halo)
+                    )
+                else:
+                    wire0 = batch if batch.ndim == 2 else batch[0]
+                    sketch.update(
+                        batch,
+                        packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
+                    )
         if host_sketch is not None:
             sketch.merge_host_(host_sketch)
             metrics.tag("engine", "hybrid")

@@ -39,6 +39,28 @@ def pack_wire(batch: np.ndarray, wire_fmt, stride: int) -> np.ndarray:
     return pack_rows(batch) if wire_fmt else batch
 
 
+def pack_shard_wires(batch: np.ndarray, n_dev: int, wire_fmt, stride: int) -> np.ndarray:
+    """Split a raw [B, L] code batch into n_dev equal row blocks and wire-
+    pack EACH block (per-shard sidecars), returning a [n_dev, rows, width]
+    stack for ShardedCountTableSketch.update_shards. Quad-family delta
+    sidecars are global to their wire, so row-sharding a single wire batch
+    is impossible — but a row block is itself a valid batch (quad2's
+    consecutive-span precondition survives slicing), so packing per shard
+    makes every wire format shardable. If any shard's quad pack overflows
+    (shapes would diverge), the whole batch falls back to per-shard nibble
+    — the stack must be format-homogeneous for one jit signature."""
+    B = batch.shape[0]
+    if B % n_dev:
+        raise ValueError(f"batch rows ({B}) must divide by n_dev ({n_dev})")
+    rows = B // n_dev
+    blocks = [batch[d * rows : (d + 1) * rows] for d in range(n_dev)]
+    if wire_fmt in ("quad", "quad2"):
+        packs = [pack_wire(blk, wire_fmt, stride) for blk in blocks]
+        if len({p.shape for p in packs}) == 1:
+            return np.stack(packs)
+    return np.stack([pack_rows(blk) for blk in blocks])
+
+
 def pack_rows(batch: np.ndarray) -> np.ndarray:
     """Nibble-pack a [B, L] uint8 code batch to [B/2, L]: chunk row b rides
     in the high nibble, row b + B/2 in the low nibble of the same byte.

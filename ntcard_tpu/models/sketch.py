@@ -54,21 +54,100 @@ def _sparse_mode() -> str:
     return "on" if jax.devices()[0].platform == "tpu" else "off"
 
 
-def _table_add(table, idx, r_bits):
-    """table[2*r_buck+1] += histogram(idx), where idx is the emit stream
-    (sentinel 2*r_buck marks "no update", landing in the ignored dump row).
+def _emit_cap(n: int) -> int:
+    """Compaction buffer slots for an n-window emit stream. Expected sampled
+    density is 2^-(sBits+1)+2^-sBits (1.17% at the sBits=7 default) and
+    binomially concentrated (sigma ~ 500 on 8M windows), so 1/64 ~ 1.56% is
+    a >>100-sigma margin for random content; the cap also bounds the
+    kernel's VMEM-resident output buffer, which must stay small (an n/16
+    cap made a 12 MB VMEM buffer and starved the kernel). Low-complexity
+    repeats (telomeric/centromeric runs whose few distinct k-mers pass the
+    sample test) CAN exceed any cap — that is the overflow path below."""
+    cap = min(max(n // 64, 128), 1 << 20)
+    return (cap + 127) // 128 * 128
+
+
+def _rank_colmajor(flat, sent):
+    """1-based rank of each non-sentinel element of ``flat`` under a fixed
+    (column-major over [*, 1024]) order — major-axis cumsums only (a
+    lane-axis cumsum is ~quadratic on this backend). Any consistent order
+    partitions the elements exactly, which is all the drain needs (the
+    table update is a commutative add)."""
+    m = (flat != sent).astype(jnp.int32)
+    pad = (-m.shape[0]) % 1024
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
+    R2 = m.reshape(-1, 1024)
+    colsum = jnp.cumsum(R2, axis=0)
+    totals = colsum[-1]
+    offs = jnp.cumsum(totals) - totals
+    rank = (colsum + offs[None, :]).reshape(-1)
+    return rank[: flat.shape[0]]
+
+
+def _drain_windows(table, flat, cnt, sent, cap, interp):
+    """Exact in-program overflow path: re-compact the stream in cap-sized
+    rank windows and apply each with a small scatter (0 loop trips when
+    cnt <= cap — the masked hot-path scatter already applied everything).
+    Costs ~28 ms/k of fixed overhead on the real chip even untaken
+    (tools/probe_r27.py whiledrain), so the single-device sketch prefers
+    deferred host replay; this stays for the sharded path, where it is
+    self-contained per shard."""
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+    def cond_fn(s):
+        return (cnt > np.int32(cap)) & (s[0] * np.int32(cap) < cnt)
+
+    def body(s):
+        j, t = s
+        rank = _rank_colmajor(flat, np.int32(sent))
+        lo = j * np.int32(cap)
+        sub = jnp.where(
+            (flat != np.int32(sent)) & (rank > lo) & (rank <= lo + np.int32(cap)),
+            flat,
+            np.int32(sent),
+        )
+        v2, _c2 = compact_pallas(sub, sent, cap, interpret=interp)
+        return j + np.int32(1), t.at[v2].add(1, mode="drop")
+
+    _, table = jax.lax.while_loop(cond_fn, body, (np.int32(0), table))
+    return table
+
+
+def _table_add(table, idx, r_bits, overflow="defer"):
+    """(table[2*r_buck+1] += histogram(idx), overflowed) — idx is the emit
+    stream (sentinel 2*r_buck marks "no update", landing in the ignored
+    dump row).
 
     On TPU the XLA scatter costs ~9-13 ns per update *element* — sentinels
     included — i.e. ~79 ms per 7.9M-window batch of which ~99% is sentinel
     traffic at the default sampling rates (docs/TPU_BACKEND_NOTES.md). The
     Pallas kernels in ops/scatter_pallas.py instead pay per *sampled*
-    element (~28 ms -> the whole batch update, measured). A density guard
-    keeps the pathological all-sampled case (e.g. a single repeated k-mer
-    whose hash passes the sample test) on the scatter path, so the result
-    is bit-identical to the scatter for every input."""
+    element; the big-table path compacts the sampled indices and scatters
+    only those.
+
+    Compaction-overflow exactness (an adversarial or repeat-heavy batch can
+    exceed the cap): the hot path applies the batch ALL-OR-NOTHING (indices
+    masked to dropped when cnt > cap) — round-3 probing showed ANY
+    reference to the full stream from a cond/while fallback costs ~30-50
+    ms/k per batch even untaken (tools/probe_r27.py condfree/whiledrain),
+    so the recovery runs elsewhere:
+
+      * overflow="defer" (single-device default): return the per-batch
+        overflow flag; the sketch replays flagged (batch, k)s through the
+        separate full-scatter program (_replay_update) a few dispatches
+        later — bit-identical because the fold commutes and a flagged
+        batch contributed nothing.
+      * overflow="drain": recover in-program via cap-sized rank-window
+        re-compactions (0-trip while_loop normally) — used inside
+        shard_map where host replay machinery has no per-shard hook.
+
+    The reference semantics this preserves: every sampled k-mer increments
+    its bucket exactly once (ntcard.cpp:437-439)."""
     mode = _sparse_mode()
+    no = jnp.zeros((), jnp.bool_)
     if mode == "off":
-        return table.at[idx].add(1, mode="drop")
+        return table.at[idx].add(1, mode="drop"), no
     interp = mode == "interpret"
 
     from ntcard_tpu.ops.scatter_pallas import compact_pallas, hist_add_pallas
@@ -77,44 +156,50 @@ def _table_add(table, idx, r_bits):
     sent = 2 * r_buck
 
     if r_bits <= 16:
-        # table fits VMEM: in-kernel histogram, guarded by sampled density.
-        # r_bits=17 is excluded: hist_add_pallas's (fpos << 18) | idx packed
-        # encoding collides with its exhaustion sentinel there (a legal
-        # update would be silently dropped); it takes the compact path.
+        # table fits VMEM: in-kernel histogram, guarded by sampled density
+        # (the hist kernel's runtime scales with the sampled count; both
+        # branches are exact, so no overflow flag). r_bits=17 is excluded:
+        # hist_add_pallas's (fpos << 18) | idx packed encoding collides
+        # with its exhaustion sentinel there (a legal update would be
+        # silently dropped); it takes the compact path.
         thresh = max(idx.size // 16, 1)  # ~5x the expected sBits=7 density
         n = jnp.sum((idx != np.int32(sent)).astype(jnp.int32))
-        return jax.lax.cond(
-            n <= thresh,
-            lambda t: t + hist_add_pallas(idx, r_bits, interpret=interp),
-            lambda t: t.at[idx].add(1, mode="drop"),
-            table,
+        return (
+            jax.lax.cond(
+                n <= thresh,
+                lambda t: t + hist_add_pallas(idx, r_bits, interpret=interp),
+                lambda t: t.at[idx].add(1, mode="drop"),
+                table,
+            ),
+            no,
         )
 
-    # huge table (default rBits=27): compact the sampled indices, then
-    # scatter only those; overflow of the compaction buffer falls back.
-    # Cap sizing: expected sampled density is 2^-(sBits+1)+2^-sBits (1.17%
-    # at the sBits=7 default) and binomially concentrated (sigma ~ 500 on
-    # 8M windows), so 1/64 ~ 1.56% is a >>100-sigma margin; the cap also
-    # bounds the kernel's VMEM-resident output buffer, which must stay
-    # small (a n/16 cap made a 12 MB VMEM buffer and starved the kernel).
-    cap = min(max(idx.size // 64, 128), 1 << 20)
-    cap = (cap + 127) // 128 * 128
+    cap = _emit_cap(idx.size)
     vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
+    over = cnt > np.int32(cap)
+    # all-or-nothing: on overflow every slot is masked to -1 (dropped), so
+    # the recovery path re-applies the WHOLE batch exactly once.
     # NOTE: do NOT pass indices_are_sorted to this scatter — on the real
     # TPU a sorted-hint scatter whose buffer starts with OOB (-1) padding
     # dropped EVERY update (silently wrong AND "fast"); plain drop-mode is
     # the verified path
-    return jax.lax.cond(
-        cnt <= np.int32(cap),
-        lambda t: t.at[vals].add(1, mode="drop"),  # empty slots are -1: dropped
-        lambda t: t.at[idx].add(1, mode="drop"),
-        table,
-    )
+    masked = jnp.where(over, np.int32(-1), vals)
+    table = table.at[masked].add(1, mode="drop")
+    if overflow == "drain":
+        table = _drain_windows(table, idx, cnt, sent, cap, interp)
+        return table, no
+    return table, over
 
 
-def _update_impl(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False):
+def _update_impl(
+    tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False,
+    overflow="defer",
+):
     """One batch step: tables = tuple of nK int32[2*rbuck+1] arrays; f1s
-    [nK, 2] uint32 (hi, lo) exact 64-bit F1 accumulators.
+    [nK, 2] uint32 (hi, lo) exact 64-bit F1 accumulators. Returns
+    (tables, f1s, flags) with flags [nK] bool — per-k compaction-overflow
+    markers the sketch replays (False everywhere unless overflow="defer"
+    and a batch actually overflowed; see _table_add).
 
     Tables are SEPARATE per-k buffers, never a stacked [nK, T] array: on
     this TPU a scatter whose operand exceeds ~2.1 GiB falls off a cliff
@@ -132,19 +217,24 @@ def _update_impl(tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions,
     tables and F1 by construction (tests/test_pallas_kernel.py). Spaced
     seeds fall back to the XLA kernel (single-seed NTMS64 lives there)."""
     if os.environ.get("NTCARD_KERNEL") == "pallas" and not mask_positions:
-        return _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed)
+        return _update_pallas(
+            tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overflow
+        )
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
     new_f1s = []
     for i, k in enumerate(ks):
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
         new_f1s.append(jnp.stack([hi, lo]))
-    new_tables = tuple(
-        _table_add(tables[i], idx[k], r_bits) for i, k in enumerate(ks)
-    )
-    return new_tables, jnp.stack(new_f1s)
+    new_tables = []
+    flags = []
+    for i, k in enumerate(ks):
+        t, over = _table_add(tables[i], idx[k], r_bits, overflow)
+        new_tables.append(t)
+        flags.append(over)
+    return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
-def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
+def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overflow):
     """Pallas-backed batch step (called inside _update's jit trace). The
     kernel wants [B, L] row-major codes; wire batches are unpacked on
     device first (cheap fused elementwise pass; quad additionally costs a
@@ -169,17 +259,20 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     sent1 = np.int32(2 * (1 << r_bits) + 1)
     new_tables = []
     new_f1s = []
+    flags = []
     for i, _k in enumerate(ks):
         flat = idx[i].reshape(-1)
         # fold the invalid-window sentinel (sent1, outside the table) into
         # the unsampled dump row so the sparse path masks both; the dump row
         # is never read, and the plain scatter's only difference is which
         # ignored bucket the sentinels land in
-        new_tables.append(_table_add(tables[i], jnp.minimum(flat, sent0), r_bits))
+        t, over = _table_add(tables[i], jnp.minimum(flat, sent0), r_bits, overflow)
+        new_tables.append(t)
+        flags.append(over)
         f1 = (flat != sent1).sum(dtype=jnp.uint32)
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))
-    return tuple(new_tables), jnp.stack(new_f1s)
+    return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
 _update = partial(
@@ -199,14 +292,41 @@ def _update_stack(tables, f1s, stack, ks, stride, s_bits, r_bits, mask_positions
     batches with an on-device lax.scan — ONE host->device put and ONE
     dispatch amortize the tunneled runtime's per-call fixed costs over n
     batches. Bit-identical to n single _update calls (the same fold body
-    applied in the same order)."""
+    applied in the same order). Per-sub-batch overflow flags come back
+    stacked [n, nK] so the sketch can replay the exact offending wire."""
 
     def body(carry, codes):
         t, f = carry
-        return _update_impl(t, f, codes, ks, stride, s_bits, r_bits, mask_positions, packed), None
+        t, f, flags = _update_impl(
+            t, f, codes, ks, stride, s_bits, r_bits, mask_positions, packed
+        )
+        return (t, f), flags
 
-    (tables, f1s), _ = jax.lax.scan(body, (tables, f1s), stack)
-    return tables, f1s
+    (tables, f1s), flags = jax.lax.scan(body, (tables, f1s), stack)
+    return tables, f1s, flags
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ki", "ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0,),
+)
+def _replay_update(
+    tables, codes, ki, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
+    """Overflow replay: re-apply ONE wire batch's table update for k index
+    ``ki`` with the plain full-stream scatter (exact for any density). The
+    flagged batch's hot-path update was all-or-nothing-masked to nothing,
+    so this lands every one of its increments exactly once; F1 was already
+    exact. Compiles lazily — only runs (and only pays the big-scatter
+    compile) when a compaction overflow actually happened."""
+    k = ks[ki]
+    idx, _f1 = sketch_scan(
+        codes, (k,), stride, s_bits, r_bits, mask_positions, packed=packed
+    )
+    new = list(tables)
+    new[ki] = tables[ki].at[idx[k]].add(1, mode="drop")
+    return tuple(new)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -321,7 +441,8 @@ class ChainedCountTableSketch:
 
     def merged(self) -> "CountTableSketch":
         head = self._chains[0]
-        for other in self._chains[1:]:
+        head._flush_replays()  # merge_ flushes both sides, but a 1-chain
+        for other in self._chains[1:]:  # merged() must settle head too
             head.merge_(other)
         self._chains = [head]
         self._i = 0
@@ -372,6 +493,13 @@ class CountTableSketch:
         )
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
+        # deferred overflow replay (see _table_add): recent (flags, wire,
+        # packed) kept until the flags are LAG dispatches old — by then the
+        # device has computed them, so the (tiny) fetch costs only transfer
+        # latency and the pipeline never syncs on in-flight work
+        self._pending: list = []
+        self._replay_lag = int(os.environ.get("NTCARD_REPLAY_LAG", "4"))
+        self.replays = 0  # overflowed (batch, k) replays issued (stats/tests)
 
     def _f1_totals(self):
         """Exact per-k F1 as Python ints (single device->host transfer)."""
@@ -386,7 +514,7 @@ class CountTableSketch:
         io/packing.py) — or a [n, rows, width] stack of same-format wire
         batches (pipeline superbatching), folded by one scanning dispatch."""
         fn = _update_stack if codes.ndim == 3 else _update
-        self.tables, self.f1s = fn(
+        self.tables, self.f1s, flags = fn(
             self.tables,
             self.f1s,
             codes,
@@ -397,10 +525,46 @@ class CountTableSketch:
             self.gap_positions,
             packed,
         )
+        self._pending.append((flags, codes, packed))
+        while len(self._pending) > self._replay_lag:
+            self._reap_one()
+
+    def _reap_one(self) -> None:
+        flags, codes, packed = self._pending.pop(0)
+        f = np.asarray(flags)  # [nK] or [n, nK] (superbatch stack)
+        if not f.any():
+            return
+        if f.ndim == 1:
+            f = f[None]
+            stack = [codes]
+        else:
+            stack = [codes[j] for j in range(f.shape[0])]
+        for j in range(f.shape[0]):
+            for i in range(len(self.ks)):
+                if f[j, i]:
+                    self.replays += 1
+                    self.tables = _replay_update(
+                        self.tables,
+                        stack[j],
+                        i,
+                        self.ks,
+                        self.stride,
+                        self.s_bits,
+                        self.r_bits,
+                        self.gap_positions,
+                        packed,
+                    )
+
+    def _flush_replays(self) -> None:
+        """Settle every pending overflow flag (finalize/save/merge must see
+        fully-applied tables)."""
+        while self._pending:
+            self._reap_one()
 
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can
         be merged offline; the reference has no equivalent, SURVEY.md §5)."""
+        self._flush_replays()
         np.savez_compressed(
             path,
             tables=np.asarray(self.tables),
@@ -438,6 +602,8 @@ class CountTableSketch:
             raise ValueError(
                 f"sketch configs differ; cannot merge ({mine} vs {theirs})"
             )
+        self._flush_replays()
+        other._flush_replays()
         # donate both operands: at default rBits the tables are GiB-scale,
         # and a non-donating add would hold three copies live mid-merge
         self.tables = _merge_add(self.tables, other.tables)
@@ -455,6 +621,7 @@ class CountTableSketch:
         theirs = (host.ks, host.s_bits, host.r_bits, host.stride, host.gap_positions)
         if mine != theirs:
             raise ValueError(f"sketch configs differ; cannot merge ({mine} vs {theirs})")
+        self._flush_replays()
         nk = len(self.ks)
         padded = []
         for i in range(nk):
@@ -472,6 +639,7 @@ class CountTableSketch:
         bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
+        self._flush_replays()
         f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
         hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ntcard_tpu.ops.nthash import hll_scan, sketch_scan
+from ntcard_tpu.ops.nthash import hll_scan
 
 
 def data_mesh(n_devices: int = 0) -> Mesh:
@@ -43,24 +43,44 @@ def data_mesh(n_devices: int = 0) -> Mesh:
 def _sketch_update_sharded(
     tables, f1s, codes, mesh, ks, stride, s_bits, r_bits, mask_positions, packed=False
 ):
-    """tables [D, nK, 2*rbuck+1] / f1s [D, nK] sharded on D; codes [D*B, L]
-    sharded on rows (nibble-packed rows when ``packed`` — the pairing is
-    global across the batch but chunk rows are order-independent, so each
-    shard unpacking its own slice is exact). Each device folds its rows into
-    its private table."""
+    """tables: tuple of nK [D, 2*rbuck+1] int32 arrays, f1s [D, nK, 2]
+    uint32, both sharded on D; codes [D, rows, width] — one wire batch per
+    shard (raw / nibble / quad / quad2, any format sketch.update takes) —
+    or [D, n, rows, width] (a superbatch stack per shard), sharded on the
+    leading device axis.
 
-    from ntcard_tpu.models.sketch import _u64_acc_add
+    Each device folds its own wire batch through models.sketch._update_impl
+    — the IDENTICAL per-shard program as the single-chip step (sparse Pallas
+    table update, per-k separate tables, on-device wire decode, superbatch
+    scan), so every single-chip optimization rides along and per-shard cost
+    equals the single-chip step by construction. The merge at finalize is a
+    sum over D (the psum analog of the reference's shared-table atomics,
+    ntcard.cpp:142-143)."""
+
+    from ntcard_tpu.models.sketch import _update_impl
 
     def local(tbl, f1, c):
-        tbl, f1 = tbl[0], f1[0]
-        idx, f1k = sketch_scan(c, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
-        new_t = []
-        new_f = []
-        for i, k in enumerate(ks):
-            new_t.append(tbl[i].at[idx[k]].add(1, mode="drop"))
-            hi, lo = _u64_acc_add(f1[i, 0], f1[i, 1], f1k[k].astype(jnp.uint32))
-            new_f.append(jnp.stack([hi, lo]))
-        return jnp.stack(new_t)[None], jnp.stack(new_f)[None]
+        # overflow="drain": compaction overflow recovers in-program (0-trip
+        # while_loop normally) — the host replay hook has no per-shard seam
+        tbl = tuple(t[0] for t in tbl)
+        f1 = f1[0]
+        c = c[0]
+        if c.ndim == 3:
+            def body(carry, one):
+                t, f = carry
+                t, f, _flags = _update_impl(
+                    t, f, one, ks, stride, s_bits, r_bits, mask_positions, packed,
+                    overflow="drain",
+                )
+                return (t, f), None
+
+            (tbl, f1), _ = jax.lax.scan(body, (tbl, f1), c)
+        else:
+            tbl, f1, _flags = _update_impl(
+                tbl, f1, c, ks, stride, s_bits, r_bits, mask_positions, packed,
+                overflow="drain",
+            )
+        return tuple(t[None] for t in tbl), f1[None]
 
     return jax.shard_map(
         local,
@@ -69,6 +89,14 @@ def _sketch_update_sharded(
         out_specs=(P("data"), P("data")),
         check_vma=False,
     )(tables, f1s, codes)
+
+
+@jax.jit
+def _shard_merge(tables):
+    """tuple of [D, T] sharded tables -> tuple of [T] merged tables (the
+    psum analog of the reference's shared-table atomics). NOT donated:
+    save() and finalize() may both merge the same live sketch."""
+    return tuple(t.sum(axis=0) for t in tables)
 
 
 class ShardedCountTableSketch:
@@ -99,8 +127,13 @@ class ShardedCountTableSketch:
         self.n_dev = self.mesh.devices.size
         nk = len(self.ks)
         shard = NamedSharding(self.mesh, P("data"))
-        self.tables = jax.device_put(
-            jnp.zeros((self.n_dev, nk, 2 * self.r_buck + 1), jnp.int32), shard
+        # per-k SEPARATE [D, T] buffers, matching the single-chip layout
+        # (models/sketch.py: a stacked table crosses the big-scatter cliff)
+        self.tables = tuple(
+            jax.device_put(
+                jnp.zeros((self.n_dev, 2 * self.r_buck + 1), jnp.int32), shard
+            )
+            for _ in range(nk)
         )
         self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk, 2), jnp.uint32), shard)
         self._row_sharding = shard
@@ -114,13 +147,21 @@ class ShardedCountTableSketch:
         ]
 
     def update(self, codes: np.ndarray, packed: bool = False) -> None:
-        """codes: [n_dev * rows, L] with rows a multiple of 128 (halved when
-        ``packed`` — io.packing.pack_rows wire format)."""
-        codes = jax.device_put(codes, self._row_sharding)
+        """codes: [n_dev * rows, L] raw (or nibble wire when ``packed`` —
+        rows decode independently, so an even row split is exact)."""
+        d = self.n_dev
+        self.update_shards(codes.reshape(d, codes.shape[0] // d, codes.shape[1]), packed)
+
+    def update_shards(self, shards: np.ndarray, packed=False) -> None:
+        """shards: [n_dev, rows, width] — one complete wire batch per shard
+        (raw/nibble/quad/quad2; quad-family wires must be packed PER SHARD,
+        io.packing.pack_shard_wires) — or [n_dev, n, rows, width] superbatch
+        stacks. Every shard runs the identical single-chip update program."""
+        shards = jax.device_put(shards, self._row_sharding)
         self.tables, self.f1s = _sketch_update_sharded(
             self.tables,
             self.f1s,
-            codes,
+            shards,
             self.mesh,
             self.ks,
             self.stride,
@@ -130,12 +171,16 @@ class ShardedCountTableSketch:
             packed,
         )
 
+    def _merged_tables(self):
+        return _shard_merge(self.tables)
+
     def save(self, path: str) -> None:
         """Checkpoint: merge shards and save in CountTableSketch format
         (models/sketch.py save/load — mergeable offline)."""
+        merged = self._merged_tables()
         np.savez_compressed(
             path,
-            tables=np.asarray(jnp.sum(self.tables, axis=0)),
+            tables=np.stack([np.asarray(t) for t in merged]),
             f1s=np.asarray(self._f1_totals(), np.int64),
             ks=np.asarray(self.ks, np.int64),
             s_bits=self.s_bits,
@@ -149,13 +194,13 @@ class ShardedCountTableSketch:
 
         f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
-        merged = jnp.sum(self.tables, axis=0)  # merge: psum analog
+        merged = self._merged_tables()
         hists = np.asarray(_counter_hists(merged, self.r_buck, nbins))
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}
             if return_table:
-                t = np.asarray(merged[i, : 2 * self.r_buck]).astype(np.uint16)
+                t = np.asarray(merged[i][: 2 * self.r_buck]).astype(np.uint16)
                 out[k]["table"] = t.reshape(2, self.r_buck)
         return out
 

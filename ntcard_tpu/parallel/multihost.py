@@ -97,6 +97,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
 
     from ntcard_tpu.models.sketch import _counter_hists
 
+    sketch._flush_replays()  # settle deferred overflow replays first
     # stack the per-k table tuple to one [nK, 2*rbuck+1] host array
     local = np.stack([np.asarray(t) for t in sketch.tables])
     gathered = multihost_utils.process_allgather(local)  # [P, nK, 2*rbuck+1]

@@ -337,18 +337,22 @@ def hybrid_feed(
         raise errs[0]
 
 
-def superbatch(iterator: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
+def superbatch(
+    iterator: Iterable[np.ndarray], n: int, axis: int = 0
+) -> Iterator[np.ndarray]:
     """Group consecutive same-shape wire batches into [n, rows, width] stacks
     (models/sketch._update_stack folds a stack with one on-device scan) —
     one device_put + one dispatch RPC then amortize the tunneled runtime's
-    per-call fixed costs over n batches.
+    per-call fixed costs over n batches. ``axis=1`` stacks per-shard wire
+    batches ([D, rows, width] -> [D, n, rows, width]) so the scan axis stays
+    behind the sharded device axis.
 
     Same shape implies same wire format (nibble/quad/quad2 row counts are
     pairwise distinct for any admissible geometry), so a stack is always
     format-homogeneous; a mid-stream format change (e.g. quad's per-batch
-    nibble fallback on N overflow) and the stream tail flush as single 2-D
-    batches — only two jit signatures ever exist (the stack and the single),
-    regardless of where the stream cuts."""
+    nibble fallback on N overflow) and the stream tail flush as single
+    unstacked batches — only two jit signatures ever exist (the stack and
+    the single), regardless of where the stream cuts."""
     if n <= 1:
         yield from iterator
         return
@@ -364,7 +368,7 @@ def superbatch(iterator: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
             yield from flush_singles()
         pending.append(b)
         if len(pending) == n:
-            yield np.stack(pending)
+            yield np.stack(pending, axis=axis)
             pending.clear()
     yield from flush_singles()
 

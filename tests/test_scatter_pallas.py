@@ -157,5 +157,6 @@ def test_r17_collision_routes_to_compact(monkeypatch):
         hist_add_pallas(jnp.asarray(idx), r_bits, interpret=True, block_rows=16)
     monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
     table = jnp.zeros((2 * r_buck + 1,), jnp.int32)
-    got = np.asarray(sketch_mod._table_add(table, jnp.asarray(idx), r_bits))
-    assert got[2 * r_buck - 1] == 1
+    got, over = sketch_mod._table_add(table, jnp.asarray(idx), r_bits)
+    assert np.asarray(got)[2 * r_buck - 1] == 1
+    assert not bool(over)

@@ -117,13 +117,404 @@ def main() -> int:
         ]
         def acc_factory():
             return (
-                jnp.zeros((len(KS), T), jnp.int32),
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
                 jnp.zeros((len(KS), 2), jnp.uint32),
             )
 
         def step(c, acc):
             t, f = acc
-            return S._update(t, f, c, KS, stride, S_BITS, R_BITS, None, False)
+            t, f, _flags = S._update(t, f, c, KS, stride, S_BITS, R_BITS, None, False)
+            return t, f
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase == "csf":
+        # cs + the production f1 (per-k sum of the validity mask) but plain
+        # uint32 accumulation — isolates the valid-sum reduction's cost
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f = acc
+            idx, f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            for i, k in enumerate(KS):
+                vals, cnt = compact_pallas(idx[k].reshape(-1), sent, cap)
+                new_ts.append(ts[i].at[vals].add(1, mode="drop"))
+                new_f = new_f + f1[k].astype(jnp.uint32)
+            return tuple(new_ts), new_f
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase in ("csu64", "csu64v"):
+        # csf + the exact production u64 (hi,lo) f1 carry: per-k scalar
+        # slice/stack chain ("csu64") vs one vectorized [nK]-wide pass
+        # ("csu64v") — isolates tiny-op dispatch overhead in the f1 update
+        from functools import partial
+
+        from ntcard_tpu.models.sketch import _u64_acc_add
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+        vec = phase.endswith("v")
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f1s = acc
+            idx, f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            for i, k in enumerate(KS):
+                vals, cnt = compact_pallas(idx[k].reshape(-1), sent, cap)
+                new_ts.append(ts[i].at[vals].add(1, mode="drop"))
+            if vec:
+                adds = jnp.stack([f1[k].astype(jnp.uint32) for k in KS])
+                new_lo = f1s[:, 1] + adds
+                carry = (new_lo < adds).astype(jnp.uint32)
+                new_f1s = jnp.stack([f1s[:, 0] + carry, new_lo], axis=1)
+            else:
+                accs = []
+                for i, k in enumerate(KS):
+                    hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
+                    accs.append(jnp.stack([hi, lo]))
+                new_f1s = jnp.stack(accs)
+            return tuple(new_ts), new_f1s
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.zeros((len(KS), 2), jnp.uint32),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase in ("condsame", "condfree"):
+        # csu64 + a data-dependent per-k lax.cond around the table update,
+        # with BOTH branches the sparse scatter ("condsame") or with the
+        # cond's untaken branch scattering the FULL idx stream ("condfree"
+        # == the production guard) — isolates whether cond-over-a-GiB-table
+        # costs a copy, and whether the fallback branch's existence alone
+        # (keeping the full stream alive) costs anything.
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+        same = phase == "condsame"
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f = acc
+            idx, _f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            for i, k in enumerate(KS):
+                flat = idx[k].reshape(-1)
+                vals, cnt = compact_pallas(flat, sent, cap)
+                if same:
+                    fb = lambda t, v=vals: t.at[v + np.int32(0)].add(1, mode="drop")
+                else:
+                    fb = lambda t, v=flat: t.at[v].add(1, mode="drop")
+                new_ts.append(
+                    jax.lax.cond(
+                        cnt <= np.int32(cap),
+                        lambda t, v=vals: t.at[v].add(1, mode="drop"),
+                        fb,
+                        ts[i],
+                    )
+                )
+                new_f = new_f + cnt.astype(jnp.uint32)
+            return tuple(new_ts), new_f
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase in ("condsmall", "conddrain"):
+        # condsmall: cond with two genuinely-different SMALL branches (flip
+        # defeats branch dedup) — if slow, ANY data-dependent cond over the
+        # GiB donated table copies it; if fast, the condfree cost is specific
+        # to the big-scatter fallback branch.
+        # conddrain: the proposed production design — unconditional masked
+        # sparse scatter + a cond whose rare branch drains the stream in
+        # cap-sized rank windows (while_loop of compact+small-scatter).
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+        drainv = phase == "conddrain"
+
+        def rank_colmajor(flat):
+            m = (flat != np.int32(sent)).astype(jnp.int32)
+            R2 = m.reshape(-1, 1024)
+            colsum = jnp.cumsum(R2, axis=0)
+            totals = colsum[-1]
+            offs = jnp.cumsum(totals) - totals
+            return (colsum + offs[None, :]).reshape(-1)  # 1-based where mask
+
+        def drain_windows(t, flat, cnt):
+            rank = rank_colmajor(flat)
+            mask = flat != np.int32(sent)
+
+            def body(state):
+                j, tt = state
+                lo = j * np.int32(cap)
+                hi = lo + np.int32(cap)
+                sub = jnp.where(mask & (rank > lo) & (rank <= hi), flat, np.int32(sent))
+                v2, _c2 = compact_pallas(sub, sent, cap)
+                return j + np.int32(1), tt.at[v2].add(1, mode="drop")
+
+            _, t = jax.lax.while_loop(
+                lambda s: s[0] * np.int32(cap) < cnt, body, (np.int32(0), t)
+            )
+            return t
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f = acc
+            idx, _f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            for i, k in enumerate(KS):
+                flat = idx[k].reshape(-1)
+                vals, cnt = compact_pallas(flat, sent, cap)
+                ok = cnt <= np.int32(cap)
+                if drainv:
+                    masked = jnp.where(ok, vals, np.int32(-1))
+                    t1 = ts[i].at[masked].add(1, mode="drop")
+                    new_ts.append(
+                        jax.lax.cond(
+                            ok,
+                            lambda tt: tt,
+                            lambda tt, fl=flat, cc=cnt: drain_windows(tt, fl, cc),
+                            t1,
+                        )
+                    )
+                else:
+                    new_ts.append(
+                        jax.lax.cond(
+                            ok,
+                            lambda t, v=vals: t.at[v].add(1, mode="drop"),
+                            lambda t, v=vals: t.at[jnp.flip(v)].add(1, mode="drop"),
+                            ts[i],
+                        )
+                    )
+                new_f = new_f + cnt.astype(jnp.uint32)
+            return tuple(new_ts), new_f
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase == "whiledrain":
+        # The candidate production design: unconditional all-or-nothing
+        # masked sparse scatter, then a 0-trip-in-the-common-case while_loop
+        # that (rarely) drains EVERY element in cap-sized rank windows —
+        # no lax.cond anywhere, so the full stream is never a conditional
+        # operand (condfree/conddrain measured that at ~40-50 ms/k even for
+        # the untaken branch).
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+
+        def table_add_drain(t, flat):
+            vals, cnt = compact_pallas(flat, sent, cap)
+            masked = jnp.where(cnt <= np.int32(cap), vals, np.int32(-1))
+            t = t.at[masked].add(1, mode="drop")
+
+            def cond_fn(s):
+                return (cnt > np.int32(cap)) & (s[0] * np.int32(cap) < cnt)
+
+            def body(s):
+                j, tt = s
+                m = (flat != np.int32(sent)).astype(jnp.int32)
+                R2 = m.reshape(-1, 1024)
+                colsum = jnp.cumsum(R2, axis=0)
+                totals = colsum[-1]
+                offs = jnp.cumsum(totals) - totals
+                rank = (colsum + offs[None, :]).reshape(-1)
+                lo = j * np.int32(cap)
+                hi = lo + np.int32(cap)
+                sub = jnp.where(
+                    (flat != np.int32(sent)) & (rank > lo) & (rank <= hi),
+                    flat,
+                    np.int32(sent),
+                )
+                v2, _c2 = compact_pallas(sub, sent, cap)
+                return j + np.int32(1), tt.at[v2].add(1, mode="drop")
+
+            _, t = jax.lax.while_loop(cond_fn, body, (np.int32(0), t))
+            return t, cnt
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f = acc
+            idx, _f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            for i, k in enumerate(KS):
+                t2, cnt = table_add_drain(ts[i], idx[k].reshape(-1))
+                new_ts.append(t2)
+                new_f = new_f + cnt.astype(jnp.uint32)
+            return tuple(new_ts), new_f
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase == "twostep":
+        # Candidate: split the batch into TWO chained dispatches — P1 =
+        # hash+compact+masked scatter (the 83 ms floor), P2 = the rare-drain
+        # while_loop alone (0 trips normally). If the control-flow penalty
+        # is per-program-composition, isolating it in P2 leaves P1 clean and
+        # P2 costs only its fixed dispatch.
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step1(c, acc):
+            ts, f = acc
+            idx, _f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            flats = []
+            cnts = []
+            for i, k in enumerate(KS):
+                flat = idx[k].reshape(-1)
+                vals, cnt = compact_pallas(flat, sent, cap)
+                masked = jnp.where(cnt <= np.int32(cap), vals, np.int32(-1))
+                new_ts.append(ts[i].at[masked].add(1, mode="drop"))
+                new_f = new_f + cnt.astype(jnp.uint32)
+                flats.append(flat)
+                cnts.append(cnt)
+            return (tuple(new_ts), new_f), tuple(flats), jnp.stack(cnts)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step2(acc, flats, cnts):
+            ts, f = acc
+            new_ts = []
+            for i, _k in enumerate(KS):
+                flat = flats[i]
+                cnt = cnts[i]
+
+                def cond_fn(s, cnt=cnt):
+                    return (cnt > np.int32(cap)) & (s[0] * np.int32(cap) < cnt)
+
+                def body(s, flat=flat):
+                    j, tt = s
+                    m = (flat != np.int32(sent)).astype(jnp.int32)
+                    R2 = m.reshape(-1, 1024)
+                    colsum = jnp.cumsum(R2, axis=0)
+                    totals = colsum[-1]
+                    offs = jnp.cumsum(totals) - totals
+                    rank = (colsum + offs[None, :]).reshape(-1)
+                    lo = j * np.int32(cap)
+                    sub = jnp.where(
+                        (flat != np.int32(sent))
+                        & (rank > lo)
+                        & (rank <= lo + np.int32(cap)),
+                        flat,
+                        np.int32(sent),
+                    )
+                    v2, _c2 = compact_pallas(sub, sent, cap)
+                    return j + np.int32(1), tt.at[v2].add(1, mode="drop")
+
+                _, t2 = jax.lax.while_loop(cond_fn, body, (np.int32(0), ts[i]))
+                new_ts.append(t2)
+            return tuple(new_ts), f
+
+        def step(c, acc):
+            acc1, flats, cnts = step1(c, acc)
+            return step2(acc1, flats, cnts)
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
+    elif phase in ("cs", "csnof1"):
+        # hash + per-k compact + per-k scatter into donated separate tables,
+        # WITHOUT the f1 accumulation / cond ("csnof1") or with plain uint32
+        # f1 sums replacing the u64 (hi,lo) carry chain ("cs") — bisects the
+        # ~150 ms gap between the composed production step (236 ms) and the
+        # sum of its isolated phases (~87 ms).
+        from functools import partial
+
+        from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+        with_f1 = phase == "cs"
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(c, acc):
+            ts, f = acc
+            idx, _f1 = sketch_scan(c, KS, stride, S_BITS, R_BITS, None)
+            new_ts = []
+            new_f = f
+            for i, k in enumerate(KS):
+                vals, cnt = compact_pallas(idx[k].reshape(-1), sent, cap)
+                new_ts.append(ts[i].at[vals].add(1, mode="drop"))
+                if with_f1:
+                    new_f = new_f + cnt.astype(jnp.uint32)
+            return tuple(new_ts), new_f
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
+                jnp.uint32(0),
+            )
 
         dt = chained(step, batches, acc_factory)
 

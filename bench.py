@@ -95,7 +95,7 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     chunk_len, batch_rows = 1024, 8192
     stride = aligned_stride(chunk_len, K)
     # wire format A/B knob (NTCARD_WIRE=quad|quad2|nibble); default quad
-    wire = os.environ.get("NTCARD_WIRE", "quad")
+    wire = os.environ.get("NTCARD_WIRE", "quad2")
     wire_fmt = wire if wire in ("quad", "quad2") else True
     halo = chunk_len - stride
     # superbatch A/B knob: fold n wire batches per dispatch (pipeline.superbatch)
@@ -193,34 +193,41 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     run(limit=max(2, n_super + 1), use_hybrid=False)
     if hybrid:
         run(limit=2)
+    # ALWAYS record a device-only number first (round 2's verdict: a TPU
+    # framework must put a TPU number on the board every round, whatever
+    # the weather; the hybrid headline can hide a device regression behind
+    # the host share). Taken right after warmup so even a later bad-weather
+    # stall cannot erase it.
+    t_dev, dev_phases = run(use_hybrid=False)
+    best_dev = t_dev
+    if t_dev < 10.0:  # fair weather: one more pass for a stable best-of
+        t_dev2, ph2 = run(use_hybrid=False)
+        if t_dev2 < best_dev:
+            best_dev, dev_phases = t_dev2, ph2
     # best-of-up-to-5: the tunneled link's throughput swings >2x on ~minute
     # scales; the best pass is the reproducible machine capability. A wall
     # budget bounds the total so a bad-weather hour still emits the metric
     # (single passes have been observed to take 100x their fair-weather
     # time) instead of tripping an outer timeout.
-    best, phases = run()
+    best, phases = (best_dev, dict(dev_phases)) if not hybrid else run()
     t_start = time.perf_counter()
-    for _ in range(4):
+    for _ in range(4 if hybrid else 3):
         t, ph = run()
         if t < best:
             best, phases = t, ph
         if time.perf_counter() - t_start > 120:
             break
-    if hybrid and best < 5.0:
-        # with hybrid as the headline, a device-path regression could hide
-        # behind the host share (the tail guard shifts work host-side);
-        # record a device-only subnumber so the TPU path stays tracked.
-        # Skipped in bad link weather (a single device pass can take 100x
-        # its fair-weather time and would eat the watchdog budget).
-        t_dev, _ = run(use_hybrid=False)
-        phases["device_only_reads_per_sec"] = round(N_READS / t_dev, 1)
+    phases["device_only_reads_per_sec"] = round(N_READS / best_dev, 1)
     phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
     return N_READS / best, phases
 
 
-def _device_alive(timeout_s: float = 150.0) -> bool:
+def _device_alive(timeout_s: float = 80.0, attempts: int = 3) -> bool:
     """Probe the accelerator in a subprocess (a dead tunnel hangs device
-    calls indefinitely — they cannot be interrupted in-process)."""
+    calls indefinitely — they cannot be interrupted in-process), retrying
+    with backoff: the tunnel wedges transiently for ~2-4 minutes after a
+    killed in-flight process, and round 2 lost its TPU bench number to a
+    single failed probe."""
     # probe unless CPU was EXPLICITLY selected — an unset JAX_PLATFORMS can
     # still auto-select an installed accelerator plugin, which is exactly
     # the wedged-tunnel case this probe exists for
@@ -232,13 +239,18 @@ def _device_alive(timeout_s: float = 150.0) -> bool:
         "x = jax.device_put(np.arange(8, dtype=np.int32))\n"
         "print(int(np.asarray(x.sum())))\n"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
-        )
-        return r.returncode == 0
-    except (subprocess.SubprocessError, OSError):
-        return False
+    for i in range(attempts):
+        if i:
+            time.sleep(30.0 * i)  # wedged tunnels recover on minute scales
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+            )
+            if r.returncode == 0:
+                return True
+        except (subprocess.SubprocessError, OSError):
+            pass
+    return False
 
 
 def measure_host_fallback(fq: Path) -> tuple[float, dict]:

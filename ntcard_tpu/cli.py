@@ -207,13 +207,15 @@ def _use_host_engine(opt, total_size: int) -> bool:
     plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
     if plat in ("", "cpu"):
         return False
-    # big-table runs (default rBits=27 is 512 MB/k) also route to the host
-    # engine: the device big-table update pays a long extraction+scatter
-    # chain per batch (~15 Mbases/s measured at r27 multi-k) while the host
-    # engine's rare sampled updates land in DRAM at full rate (measured 4.6x
-    # the device wall on 90 Mbp -k64,96,128; see README). NTCARD_ENGINE=
-    # device forces the device path back on.
-    big_r = opt.r_bits >= int(os.environ.get("NTCARD_HOST_MIN_RBITS", 20))
+    # Round 2 also routed big-table runs (rBits >= 20) here because the
+    # device update was extraction+scatter bound (~15 Mbases/s at r27
+    # multi-k). Round 3's per-k tables + all-or-nothing masked sparse
+    # scatter + deferred overflow replay lifted the device step to ~88
+    # Mwindows/s/k and the default-config CLI wall below the reference
+    # (docs/TPU_BACKEND_NOTES.md round-3 addenda), so only genuinely small
+    # inputs stay on the host engine. NTCARD_HOST_MIN_RBITS restores the
+    # old routing if a deployment's link makes the host engine win again.
+    big_r = opt.r_bits >= int(os.environ.get("NTCARD_HOST_MIN_RBITS", "99"))
     if not big_r and total_size >= int(
         os.environ.get("NTCARD_HOST_MAX_BYTES", 64 << 20)
     ):
@@ -378,7 +380,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     sharded = n_procs == 1 and n_dev > 1
     rows_ps = batch_rows // n_dev if sharded else batch_rows  # rows per wire
     private_sketch = not sharded
-    wire_env = _os.environ.get("NTCARD_WIRE", "quad")
+    wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
     if wire_env == "quad2" and quad2_ok(rows_ps, stride):
         wire_fmt = "quad2"
     elif wire_env in ("quad", "quad2") and quad_ok(rows_ps, chunk_len):

@@ -170,7 +170,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # 2-bit quad/quad2 wire for the private-sketch paths (see cli.py); the
     # row-sharded sketch needs the nibble wire
-    wire_env = _os.environ.get("NTCARD_WIRE", "quad")
+    wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
     private_sketch = n_procs > 1 or n_dev == 1
     if wire_env == "quad2" and private_sketch and quad2_ok(batch_rows, stride):
         wire_fmt = "quad2"

@@ -275,11 +275,23 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overf
     return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
-_update = partial(
+@partial(
     jax.jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
-)(_update_impl)
+)
+def _update(
+    tables, f1s, ocount, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
+    """Jitted single-batch step. ``ocount`` (uint32 scalar, NOT donated —
+    the sketch retains old refs) is the running total of overflow flags:
+    the host checks it once every ~32 batches instead of fetching per-batch
+    flags (each tiny D2H fetch costs ~90 ms of tunnel RPC latency,
+    measured: per-batch fetches added ~1.1 s to a 12-batch run)."""
+    t, f, flags = _update_impl(
+        tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed
+    )
+    return t, f, flags, ocount + flags.sum(dtype=jnp.uint32)
 
 
 @partial(
@@ -287,13 +299,16 @@ _update = partial(
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
-def _update_stack(tables, f1s, stack, ks, stride, s_bits, r_bits, mask_positions, packed=False):
+def _update_stack(
+    tables, f1s, ocount, stack, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
     """Super-batch step: fold a [n, rows, width] stack of same-format wire
     batches with an on-device lax.scan — ONE host->device put and ONE
     dispatch amortize the tunneled runtime's per-call fixed costs over n
     batches. Bit-identical to n single _update calls (the same fold body
     applied in the same order). Per-sub-batch overflow flags come back
-    stacked [n, nK] so the sketch can replay the exact offending wire."""
+    stacked [n, nK] so the sketch can replay the exact offending wire;
+    ``ocount`` accumulates their total as in _update."""
 
     def body(carry, codes):
         t, f = carry
@@ -303,7 +318,7 @@ def _update_stack(tables, f1s, stack, ks, stride, s_bits, r_bits, mask_positions
         return (t, f), flags
 
     (tables, f1s), flags = jax.lax.scan(body, (tables, f1s), stack)
-    return tables, f1s, flags
+    return tables, f1s, flags, ocount + flags.sum(dtype=jnp.uint32)
 
 
 @partial(
@@ -347,15 +362,100 @@ def _hist_row_device(row):
 @partial(jax.jit, static_argnames=("nbins",))
 def _hist_row_device_small(row, nbins):
     """int32[r_buck] -> int32[nbins] counter-value histogram via per-bin
-    compare-reduce — no scatter. The estimator only ever reads bins
-    0..cov_max (66 at the default -c64), and a 65536-bin scatter over a
-    2^27-element row costs seconds per row on TPU while nbins fused
-    equality-reduces over the same row are pure vector work (measured:
-    finalize of a default-r27 -k64,96,128 run dropped from ~40 s to ~2 s).
-    Values >= nbins are simply not counted (they'd land past the slice the
-    estimator reads); bins 0..nbins-1 are exact."""
+    compare-reduce — no scatter. Each bin costs a full-row reduction
+    (~5 ms at r27), so this is only for tiny bin counts; larger requests
+    route to _hist_row_device_sparse. Values >= nbins are simply not
+    counted (they'd land past the slice the estimator reads); bins
+    0..nbins-1 are exact."""
     v = row & 0xFFFF
     return jnp.stack([(v == np.int32(b)).sum(dtype=jnp.int32) for b in range(nbins)])
+
+
+@partial(jax.jit, static_argnames=("nbins", "interp"))
+def _hist_row_device_sparse(row, nbins, interp):
+    """int32[r_buck] -> int32[nbins] counter-value histogram that exploits
+    table sparsity: bin 0 (untouched buckets — the overwhelming majority;
+    nonzero buckets ~ sampled distinct k-mers) is one reduction, the
+    in-range nonzero values are compacted (ops/scatter_pallas) and applied
+    with a small scatter. The per-bin compare-reduce alternative costs
+    ~5 ms/bin at r27 (the default -c1000 would take ~30 s per run) and a
+    full-row 65536-bin scatter costs seconds; this is ~2 fused passes +
+    ~200 ns per nonzero bucket. A (deep-coverage) table whose in-range
+    nonzero count exceeds the compaction buffer falls back to the exact
+    full-row scatter under a cond — a once-per-run finalize cost, unlike
+    the per-batch update where that pattern is banned
+    (docs/TPU_BACKEND_NOTES.md round-3 addenda)."""
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+    v = (row & 0xFFFF).astype(jnp.int32)
+    zero_cnt = (v == 0).sum(dtype=jnp.int32)
+    sent = 65536  # > any wrapped counter value
+    w = jnp.where((v >= 1) & (v < np.int32(nbins)), v, np.int32(sent))
+    cap = _HIST_CAP  # 1 MB VMEM output buffer; typical nonzero counts ~1e4
+    vals, cnt = compact_pallas(w, sent, cap, interpret=interp)
+
+    def sparse(_):
+        # empty compaction slots are -1, which .at[] WRAPS (NumPy
+        # semantics) rather than drops — route them to an explicit discard
+        # bin. (The emit-path table scatters tolerate raw -1 only because
+        # it wraps to the never-read sentinel dump row.)
+        idx2 = jnp.where(vals < 0, np.int32(nbins), vals)
+        h = jnp.zeros((nbins + 1,), jnp.int32).at[idx2].add(1)[:nbins]
+        return h.at[0].set(zero_cnt)
+
+    def fallback(vv):
+        clamped = jnp.minimum(vv, np.int32(nbins))  # nbins = discard bin
+        return jnp.zeros((nbins + 1,), jnp.int32).at[clamped].add(1)[:nbins]
+
+    return jax.lax.cond(cnt <= np.int32(cap), sparse, fallback, v)
+
+
+_HIST_CAP = 1 << 18  # sparse-hist compaction slots (1 MB VMEM buffer)
+
+
+def _hist_row_sparse_parts(row, nbins, interp):
+    """No-cond core of the sparse counter-hist: (hist, cnt) where hist is
+    only valid when cnt <= _HIST_CAP — the caller (host-driven finalize)
+    checks cnt and substitutes the exact scatter fallback, avoiding a
+    device cond over the GiB row (see _hist_row_device_sparse docstring)."""
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+    v = (row & 0xFFFF).astype(jnp.int32)
+    zero_cnt = (v == 0).sum(dtype=jnp.int32)
+    sent = 65536
+    w = jnp.where((v >= 1) & (v < np.int32(nbins)), v, np.int32(sent))
+    vals, cnt = compact_pallas(w, sent, _HIST_CAP, interpret=interp)
+    # -1 empty slots (and any overflow-row garbage) route to a discard bin:
+    # .at[] WRAPS negative indices (NumPy semantics) instead of dropping
+    idx2 = jnp.where(vals < 0, np.int32(nbins), vals)
+    h = jnp.zeros((nbins + 1,), jnp.int32).at[idx2].add(1, mode="drop")[:nbins]
+    return h.at[0].set(zero_cnt), cnt
+
+
+@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
+def _hists_all_sparse(tables, r_buck, nbins, interp):
+    """Every (k, sample) row's sparse hist in ONE program — one dispatch +
+    one [2nK, nbins] fetch + one [2nK] cnt fetch instead of six dispatches
+    (each dispatch/fetch pays ~90 ms of tunnel RPC latency)."""
+    hists, cnts = [], []
+    for t in tables:
+        for s in range(2):
+            h, c = _hist_row_sparse_parts(
+                jax.lax.dynamic_slice(t, (s * r_buck,), (r_buck,)), nbins, interp
+            )
+            hists.append(h)
+            cnts.append(c)
+    return jnp.stack(hists), jnp.stack(cnts)
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _hist_row_fallback(row, nbins):
+    """Exact full-row scatter hist (bins 0..nbins-1) — the rare dense-table
+    fallback the host dispatches when a row's in-range nonzero count
+    exceeds _HIST_CAP."""
+    v = (row & 0xFFFF).astype(jnp.int32)
+    clamped = jnp.minimum(v, np.int32(nbins))
+    return jnp.zeros((nbins + 1,), jnp.int32).at[clamped].add(1)[:nbins]
 
 
 def _counter_hists_device(tables, r_buck, nbins):
@@ -368,10 +468,23 @@ def _counter_hists_device(tables, r_buck, nbins):
     counts use the scatter-free compare-reduce kernel; a (rare) large
     cov_max falls back to the full 65536-bin scatter."""
     nk = len(tables)
+    if 32 < nbins < 65536:
+        # sparse path: one fused program for all rows; the host checks the
+        # per-row nonzero counts and substitutes the exact scatter fallback
+        # for (rare, deep-coverage) dense rows — a host-level branch, free
+        # of the device cond-over-big-operand penalty
+        interp = jax.devices()[0].platform != "tpu"
+        hists, cnts = _hists_all_sparse(tables, r_buck, nbins, interp)
+        cnts = np.asarray(cnts)
+        hists = np.asarray(hists)
+        for r in np.flatnonzero(cnts > _HIST_CAP):
+            i, s = divmod(int(r), 2)
+            hists[r] = np.asarray(
+                _hist_row_fallback(tables[i][s * r_buck : (s + 1) * r_buck], nbins)
+            )
+        return hists.reshape(nk, 2, nbins)
     fn = (
-        partial(_hist_row_device_small, nbins=nbins)
-        if nbins <= 1024
-        else _hist_row_device
+        partial(_hist_row_device_small, nbins=nbins) if nbins <= 32 else _hist_row_device
     )
     rows = [
         fn(tables[i][s * r_buck : (s + 1) * r_buck])
@@ -494,11 +607,15 @@ class CountTableSketch:
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
         # deferred overflow replay (see _table_add): recent (flags, wire,
-        # packed) kept until the flags are LAG dispatches old — by then the
-        # device has computed them, so the (tiny) fetch costs only transfer
-        # latency and the pipeline never syncs on in-flight work
+        # packed) ride a pending list; a device-side running overflow COUNT
+        # is checked once per NTCARD_REPLAY_LAG batches (one ~90 ms tunnel
+        # RPC) — when unchanged (the always case) the whole pending window
+        # is dropped without ever fetching per-batch flags, and only a real
+        # overflow pays the per-batch fetches + replays
         self._pending: list = []
-        self._replay_lag = int(os.environ.get("NTCARD_REPLAY_LAG", "4"))
+        self._ocount = jnp.zeros((), jnp.uint32)
+        self._reaped = 0  # host copy of the last fetched overflow count
+        self._replay_lag = int(os.environ.get("NTCARD_REPLAY_LAG", "32"))
         self.replays = 0  # overflowed (batch, k) replays issued (stats/tests)
 
     def _f1_totals(self):
@@ -514,9 +631,10 @@ class CountTableSketch:
         io/packing.py) — or a [n, rows, width] stack of same-format wire
         batches (pipeline superbatching), folded by one scanning dispatch."""
         fn = _update_stack if codes.ndim == 3 else _update
-        self.tables, self.f1s, flags = fn(
+        self.tables, self.f1s, flags, self._ocount = fn(
             self.tables,
             self.f1s,
+            self._ocount,
             codes,
             self.ks,
             self.stride,
@@ -525,41 +643,57 @@ class CountTableSketch:
             self.gap_positions,
             packed,
         )
-        self._pending.append((flags, codes, packed))
-        while len(self._pending) > self._replay_lag:
-            self._reap_one()
+        self._pending.append((flags, self._ocount, codes, packed))
+        if len(self._pending) >= self._replay_lag:
+            self._reap_window()
 
-    def _reap_one(self) -> None:
-        flags, codes, packed = self._pending.pop(0)
-        f = np.asarray(flags)  # [nK] or [n, nK] (superbatch stack)
-        if not f.any():
+    def _reap_window(self, flush: bool = False) -> None:
+        """Settle (a prefix of) the pending window with ONE fetch of a
+        running-overflow-count: unchanged (the always case) drops the
+        covered entries without per-batch fetches, otherwise their flags
+        are fetched and the flagged (batch, k)s replayed. Mid-stream the
+        MIDDLE entry's count is read — computed half a window ago, so the
+        fetch costs tunnel latency only and never syncs in-flight work;
+        flush reads the newest."""
+        if not self._pending:
             return
-        if f.ndim == 1:
-            f = f[None]
-            stack = [codes]
-        else:
-            stack = [codes[j] for j in range(f.shape[0])]
-        for j in range(f.shape[0]):
-            for i in range(len(self.ks)):
-                if f[j, i]:
-                    self.replays += 1
-                    self.tables = _replay_update(
-                        self.tables,
-                        stack[j],
-                        i,
-                        self.ks,
-                        self.stride,
-                        self.s_bits,
-                        self.r_bits,
-                        self.gap_positions,
-                        packed,
-                    )
+        m = len(self._pending) - 1
+        if not flush:
+            m = min(self._replay_lag // 2, m)
+        count = int(np.asarray(self._pending[m][1]))
+        window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
+        if count == self._reaped:
+            return
+        self._reaped = count
+        for flags, _oc, codes, packed in window:
+            f = np.asarray(flags)  # [nK] or [n, nK] (superbatch stack)
+            if not f.any():
+                continue
+            if f.ndim == 1:
+                f = f[None]
+                stack = [codes]
+            else:
+                stack = [codes[j] for j in range(f.shape[0])]
+            for j in range(f.shape[0]):
+                for i in range(len(self.ks)):
+                    if f[j, i]:
+                        self.replays += 1
+                        self.tables = _replay_update(
+                            self.tables,
+                            stack[j],
+                            i,
+                            self.ks,
+                            self.stride,
+                            self.s_bits,
+                            self.r_bits,
+                            self.gap_positions,
+                            packed,
+                        )
 
     def _flush_replays(self) -> None:
         """Settle every pending overflow flag (finalize/save/merge must see
         fully-applied tables)."""
-        while self._pending:
-            self._reap_one()
+        self._reap_window(flush=True)
 
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can

@@ -76,13 +76,88 @@ def global_data_mesh():
     return Mesh(np.asarray(jax.devices()), ("data",))
 
 
+def _finalize_reduce_scatter(sketch, nbins: int):
+    """Device-path cross-host merge: reduce-scatter the per-process tables
+    over the process mesh (each device ends with a bucket shard of the
+    SUMMED table — (P-1)/P of one table per link, the information-theoretic
+    minimum for an exact per-bucket merge; hist-of-sum != sum-of-hists, so
+    gathering histograms alone would be wrong), histogram the owned bucket
+    shard on device, and psum the KB-scale histograms. Nothing GiB-scale
+    ever lands on a host or is replicated. Returns [nK, 2, nbins] int32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ntcard_tpu.models.sketch import (
+        _hist_row_device_small,
+        _hist_row_device_sparse,
+    )
+
+    procs = jax.process_count()
+    me = jax.process_index()
+    # one device per process carries that process's table
+    firsts = {}
+    for d in jax.devices():
+        firsts.setdefault(d.process_index, d)
+    devs = [firsts[p] for p in range(procs)]
+    mesh = Mesh(np.asarray(devs), ("proc",))
+    nk, r_buck = len(sketch.ks), sketch.r_buck
+
+    local = jnp.stack(
+        [t[: 2 * r_buck].reshape(2, r_buck) for t in sketch.tables]
+    )[None]  # [1, nK, 2, r_buck] — drop the sentinel dump column
+    g = jax.make_array_from_single_device_arrays(
+        (procs, nk, 2, r_buck),
+        NamedSharding(mesh, P("proc")),
+        [jax.device_put(local, devs[me])],
+    )
+    interp = devs[0].platform != "tpu"
+    if nbins <= 32:
+        hist_fn = partial(_hist_row_device_small, nbins=nbins)
+    else:
+        hist_fn = partial(_hist_row_device_sparse, nbins=nbins, interp=interp)
+
+    def local_fn(gs):  # [1, nK, 2, r_buck] = this process's table
+        # each device ends with the bucket-range shard of the summed table
+        chunk = jax.lax.psum_scatter(
+            gs[0], "proc", scatter_dimension=2, tiled=True
+        )  # [nK, 2, r_buck // P] int32; int32 sum is exact (uint16 counts
+        # per process, wraps only past 2^15 processes) and the hist masks
+        # to uint16 anyway
+        rows = [hist_fn(chunk[i, s]) for i in range(nk) for s in range(2)]
+        h = jnp.stack(rows).reshape(nk, 2, nbins)
+        return jax.lax.psum(h, "proc")[None]
+
+    out = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P("proc"),),
+            out_specs=P("proc"),
+            check_vma=False,
+        )
+    )(g)
+    # every shard holds the identical psum'd histogram; read the local one
+    return np.asarray(out.addressable_shards[0].data[0])
+
+
 def merged_finalize(sketch, cov_max: int = 65535):
-    """Cross-host finalize: all-gather every process's private count table
-    over DCN, sum (the psum analog of the reference's shared-table atomics,
-    ntcard.cpp:142-143, lifted across hosts), and compute the counter-value
-    histograms. Every process returns the identical result; addition
-    commutes mod 2^16, so the merged histogram is bit-identical to a
-    single-process run over the union of the inputs.
+    """Cross-host finalize: merge every process's private count table (the
+    psum analog of the reference's shared-table atomics, ntcard.cpp:142-143,
+    lifted across hosts) and compute the counter-value histograms. Every
+    process returns the identical result; addition commutes mod 2^16, so
+    the merged histogram is bit-identical to a single-process run over the
+    union of the inputs.
+
+    The merge itself is a device-side reduce-scatter + histogram + tiny
+    psum (_finalize_reduce_scatter) — at the default rBits=27 multi-k the
+    old host path allgathered 3.2 GiB into every process's memory; now
+    only KB-scale histograms are ever materialized. The host allgather
+    survives as NTCARD_MULTIHOST_FINALIZE=host (debug/fallback, and the
+    automatic route when the bucket count does not divide the process
+    count).
 
     ``sketch`` is a models.sketch.CountTableSketch (per-host private state);
     single-process calls fall through to its own finalize()."""
@@ -91,25 +166,36 @@ def merged_finalize(sketch, cov_max: int = 65535):
     if jax.process_count() == 1:
         return sketch.finalize(cov_max=cov_max)
 
-    import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
 
-    from ntcard_tpu.models.sketch import _counter_hists
-
     sketch._flush_replays()  # settle deferred overflow replays first
-    # stack the per-k table tuple to one [nK, 2*rbuck+1] host array
-    local = np.stack([np.asarray(t) for t in sketch.tables])
-    gathered = multihost_utils.process_allgather(local)  # [P, nK, 2*rbuck+1]
-    # sum in int64 then wrap mod 2^16 — all the estimator ever reads
-    # (_counter_hists masks to uint16 anyway), and it keeps the cast to
-    # int32 safe for any process count
-    merged = jnp.asarray(gathered.sum(axis=0, dtype=np.int64) & 0xFFFF, dtype=np.int32)
     f1_local = np.asarray(sketch._f1_totals(), np.int64)
     f1_all = multihost_utils.process_allgather(f1_local).sum(axis=0)
-
     nbins = min(cov_max + 1, 65536)
-    hists = np.asarray(_counter_hists(merged, sketch.r_buck, nbins))
+
+    use_host = (
+        os.environ.get("NTCARD_MULTIHOST_FINALIZE") == "host"
+        or sketch.r_buck % jax.process_count() != 0
+        or nbins >= 65536
+    )
+    if not use_host:
+        hists = _finalize_reduce_scatter(sketch, nbins)
+    else:
+        import jax.numpy as jnp
+
+        from ntcard_tpu.models.sketch import _counter_hists
+
+        # host fallback: stack and allgather the full tables (P x table
+        # bytes through DCN + host memory — debug only)
+        local = np.stack([np.asarray(t) for t in sketch.tables])
+        gathered = multihost_utils.process_allgather(local)
+        # sum in int64 then wrap mod 2^16 — all the estimator ever reads
+        merged = jnp.asarray(
+            gathered.sum(axis=0, dtype=np.int64) & 0xFFFF, dtype=np.int32
+        )
+        hists = np.asarray(_counter_hists(merged, sketch.r_buck, nbins))
+
     out = {}
     for i, k in enumerate(sketch.ks):
         out[k] = {"hist": hists[i].astype(np.int64), "f1": int(f1_all[i])}

@@ -128,11 +128,15 @@ def test_auto_picks_host_for_small_inputs_on_accelerator(monkeypatch):
     assert cli._use_host_engine(opt, 1000)
     # large input at small r -> device
     assert not cli._use_host_engine(opt, 1 << 40)
-    # big tables (default rBits=27) -> host at ANY size: the device
-    # big-table update is extraction+scatter bound (README measurements)
+    # big tables (default rBits=27): device since round 3 (the per-k-table
+    # sparse update beats the reference at the default config); the round-2
+    # host routing survives behind NTCARD_HOST_MIN_RBITS
     opt27, _ = cli.parse_args(["-k12", "-p", "x", "f.fq"])
     assert opt27.r_bits == 27
+    assert not cli._use_host_engine(opt27, 1 << 40)
+    monkeypatch.setenv("NTCARD_HOST_MIN_RBITS", "20")
     assert cli._use_host_engine(opt27, 1 << 40)
+    monkeypatch.delenv("NTCARD_HOST_MIN_RBITS")
     # explicit multi-host -> device
     opt.coordinator = "host:1234"
     assert not cli._use_host_engine(opt, 1000)

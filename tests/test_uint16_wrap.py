@@ -65,3 +65,24 @@ def test_small_bin_hist_matches_scatter():
     for nbins in (1, 66, 1001, 1025):  # 1025 exercises the scatter fallback
         small = np.asarray(_counter_hists_device(t, r_buck, nbins))
         np.testing.assert_array_equal(small, full[:, :, :nbins])
+
+
+def test_dense_row_hist_fallback():
+    """A (deep-coverage) row whose in-range nonzero count exceeds the
+    sparse-hist compaction cap must come back exact via the host-dispatched
+    scatter fallback (models/sketch._counter_hists_device)."""
+    import numpy as np
+
+    from ntcard_tpu.models.sketch import _HIST_CAP, _counter_hists_device
+
+    r_buck = _HIST_CAP  # every bucket nonzero in-range -> cnt == 2*cap > cap
+    rng = np.random.default_rng(9)
+    t = rng.integers(1, 64, size=(1, 2 * r_buck + 1), dtype=np.int32)
+    got = np.asarray(_counter_hists_device(t, r_buck, 66))
+    want = np.stack(
+        [
+            np.bincount(np.minimum(t[0, s * r_buck : (s + 1) * r_buck], 66), minlength=67)[:66]
+            for s in range(2)
+        ]
+    )
+    np.testing.assert_array_equal(got[0], want)

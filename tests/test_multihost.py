@@ -105,3 +105,44 @@ def test_assignment_balances_bytes():
     # max(largest file, total/num_hosts)
     opt_lb = max(max(sizes), sum(sizes) / 4)
     assert max(loads) <= 4 / 3 * opt_lb + 1
+
+
+def test_two_process_default_r27_smoke(tmp_path):
+    """Default-r27 (1.07 GB/k tables) across two jax.distributed processes:
+    the device reduce-scatter finalize (parallel/multihost.py) must complete
+    in test-env memory — the round-2 host path allgathered P x full tables
+    into every process — and byte-match a single-process run over the same
+    inputs (merge-invariance at real table scale). k=64 keeps the footprint
+    ~1 GB/process; cov 64 keeps the interpret-mode sparse hist cheap."""
+    import os
+    import subprocess
+    import sys
+
+    args = ["-k64", "-c64", str(DATA / "reads.fq"), str(DATA / "contig.fa")]
+    env1 = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    single = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli", "-p", str(tmp_path / "s")] + args,
+        capture_output=True, timeout=600, env=env1,
+    )
+    assert single.returncode == 0, single.stderr.decode()[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in (0, 1):
+        cmd = [
+            sys.executable, "-m", "ntcard_tpu.cli",
+            "-p", str(tmp_path / "m"),
+            "--coordinator", f"localhost:{port}",
+            "--num-hosts", "2", "--host-id", str(pid),
+        ] + args
+        procs.append(
+            subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env1)
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    got = (tmp_path / "m_k64.hist").read_bytes()
+    want = (tmp_path / "s_k64.hist").read_bytes()
+    assert got == want

@@ -344,6 +344,14 @@ def _replay_update(
     return tuple(new)
 
 
+@partial(jax.jit, static_argnames=("nk", "n"))
+def _make_tables(nk, n):
+    """All nK per-k table buffers in ONE program: three separate GiB-scale
+    jnp.zeros calls cost ~2 s of per-call tunnel overhead at init
+    (measured); one fused dispatch pays it once."""
+    return tuple(jnp.zeros((n,), jnp.int32) for _ in range(nk))
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _merge_add(a, b):
     # donate only `a` (the output aliases it); donating `b` too is unusable
@@ -434,18 +442,18 @@ def _hist_row_sparse_parts(row, nbins, interp):
 
 @partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
 def _hists_all_sparse(tables, r_buck, nbins, interp):
-    """Every (k, sample) row's sparse hist in ONE program — one dispatch +
-    one [2nK, nbins] fetch + one [2nK] cnt fetch instead of six dispatches
-    (each dispatch/fetch pays ~90 ms of tunnel RPC latency)."""
-    hists, cnts = [], []
+    """Every (k, sample) row's sparse hist in ONE program and ONE fetched
+    array — [2nK, nbins + 1] with the row's nonzero count in the last
+    column — instead of six dispatches and two fetches (each dispatch /
+    fetch pays ~90 ms of tunnel RPC latency)."""
+    rows = []
     for t in tables:
         for s in range(2):
             h, c = _hist_row_sparse_parts(
                 jax.lax.dynamic_slice(t, (s * r_buck,), (r_buck,)), nbins, interp
             )
-            hists.append(h)
-            cnts.append(c)
-    return jnp.stack(hists), jnp.stack(cnts)
+            rows.append(jnp.concatenate([h, c[None]]))
+    return jnp.stack(rows)
 
 
 @partial(jax.jit, static_argnames=("nbins",))
@@ -474,9 +482,8 @@ def _counter_hists_device(tables, r_buck, nbins):
         # for (rare, deep-coverage) dense rows — a host-level branch, free
         # of the device cond-over-big-operand penalty
         interp = jax.devices()[0].platform != "tpu"
-        hists, cnts = _hists_all_sparse(tables, r_buck, nbins, interp)
-        cnts = np.asarray(cnts)
-        hists = np.asarray(hists)
+        combined = np.asarray(_hists_all_sparse(tables, r_buck, nbins, interp))
+        hists, cnts = combined[:, :nbins], combined[:, nbins]
         for r in np.flatnonzero(cnts > _HIST_CAP):
             i, s = divmod(int(r), 2)
             hists[r] = np.asarray(
@@ -601,9 +608,7 @@ class CountTableSketch:
         nk = len(self.ks)
         # per-k SEPARATE table buffers (see _update_impl: a stacked [nK, T]
         # operand crosses the ~2.1 GiB scatter cliff at the default rBits=27)
-        self.tables = tuple(
-            jnp.zeros((2 * self.r_buck + 1,), jnp.int32) for _ in range(nk)
-        )
+        self.tables = _make_tables(nk, 2 * self.r_buck + 1)
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
         # deferred overflow replay (see _table_add): recent (flags, wire,

@@ -216,11 +216,14 @@ def window_hashes(
     stride: int,
     mask_positions: Sequence[int] | None = None,
     packed: bool = False,
-) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    with_strand: bool = False,
+) -> Dict[int, Tuple[jnp.ndarray, ...]]:
     """Canonical (spaced) window hashes for every k.
 
     codes: [B, L] uint8 (or a wire batch when ``packed``; see _codes_T).
-    Returns {k: (hi, lo, valid)}, each [stride, B] (position-major)."""
+    Returns {k: (hi, lo, valid)}, each [stride, B] (position-major); with
+    ``with_strand`` additionally the hStn strand indicator (True = the
+    reverse-complement hash was selected, nthash.hpp:512 `rhVal<fhVal`)."""
     if mask_positions and len(ks) != 1:
         raise ValueError("spaced seeds support a single k only (reference parity)")
 
@@ -279,7 +282,10 @@ def window_hashes(
 
         valid = (ncnt[end] - ncnt_p) == 0
         ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
-        out[k] = (ch, cl, valid)
+        if with_strand:
+            out[k] = (ch, cl, valid, u64.lt(rh_hi, rh_lo, fh_hi, fh_lo))
+        else:
+            out[k] = (ch, cl, valid)
     return out
 
 
@@ -289,7 +295,8 @@ def window_hashes_doubling(
     stride: int,
     mask_positions: Sequence[int] | None = None,
     packed: bool = False,
-) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    with_strand: bool = False,
+) -> Dict[int, Tuple[jnp.ndarray, ...]]:
     """window_hashes by *window doubling* instead of rotated prefix scans.
 
     A length-(a+b) window hash composes from its halves with constant-amount
@@ -372,7 +379,10 @@ def window_hashes_doubling(
                 rh_lo = rh_lo ^ u64.lut5(cp, rt[:, 1])
 
         ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
-        out[k] = (ch, cl, valid)
+        if with_strand:
+            out[k] = (ch, cl, valid, u64.lt(rh_hi, rh_lo, fh_hi, fh_lo))
+        else:
+            out[k] = (ch, cl, valid)
     return out
 
 
@@ -389,6 +399,21 @@ def canonical_hashes(
     surface for ntHashIterator + NTC64 / stHashIterator + NTMS64."""
     ch, cl, valid = window_hashes(codes, (k,), stride, mask_positions)[k]
     return ch.T, cl.T, valid.T
+
+
+def canonical_hashes_strand(
+    codes: jnp.ndarray, k: int, stride: int, mask_positions: Sequence[int] | None = None
+):
+    """Strand-aware canonical hashes — NTMC64-with-hStn parity
+    (nthash.hpp:495-534): (hi, lo, hstn, valid), each [B, stride], where
+    hstn is True iff the reverse-complement strand's hash was selected
+    (`rhVal < fhVal`; ties select forward). Extra hashes for Bloom-filter
+    consumers derive via :func:`multi_hashes` exactly as the reference's
+    NTMC64 does from its bVal."""
+    ch, cl, valid, stn = _hash_backend()(
+        codes, (k,), stride, mask_positions, with_strand=True
+    )[k]
+    return ch.T, cl.T, stn.T, valid.T
 
 
 def make_sketch_emit(s_bits: int, r_bits: int):

@@ -67,6 +67,13 @@ def ntc64(codes: Sequence[int], k: int) -> int:
     return min(ntf64(codes, k), ntr64(codes, k))
 
 
+def ntmc64_strand(codes: Sequence[int], k: int) -> Tuple[int, bool]:
+    """Strand-aware canonical hash — NTMC64-with-hStn (nthash.hpp:495-521):
+    (canonical hash, hStn) with hStn = rhVal < fhVal (ties are forward)."""
+    f, r = ntf64(codes, k), ntr64(codes, k)
+    return (r, True) if r < f else (f, False)
+
+
 def ntf64_roll(fh: int, k: int, out_code: int, in_code: int) -> int:
     """Roll the forward hash one base to the right."""
     return srol(fh) ^ SEEDS[in_code] ^ rot_seed(out_code, k)

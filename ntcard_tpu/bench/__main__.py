@@ -142,62 +142,41 @@ def bench_uniformity():
 
 def bench_bloom():
     """Bloom-filter insert/query sweep over the NTM64 multi-hash derivation
-    — the end-to-end consumer of ops/nthash.multi_hashes, mirroring
-    nttest's FPR table (nttest.cpp:443-494 + lib/BloomFilter.hpp insert/
-    contains): insert the k-mers of a random sequence with h derived
-    hashes, query disjoint absent k-mers, report measured vs theoretical
-    false-positive rate. The filter is a device int32 bit array; insert is
-    a scatter-OR (set via max), query an AND of gathered bits — gathers are
-    banned in hot paths but this is a capability surface, not a product
-    kernel."""
+    — the end-to-end consumer of ops/nthash.multi_hashes
+    (models/bloom.BloomFilter), mirroring nttest's FPR table
+    (nttest.cpp:443-494 + lib/BloomFilter.hpp insert/contains): insert the
+    k-mers of a random sequence with h derived hashes, query disjoint
+    absent k-mers, report measured vs theoretical false-positive rate."""
     import jax.numpy as jnp
 
-    from ntcard_tpu.ops.nthash import canonical_hashes, multi_hashes
+    from ntcard_tpu.models.bloom import BloomFilter
 
     rng = np.random.default_rng(11)
     k = 64
-    m_bits = 24  # 16 Mbit filter
+    m_bits = 24
     n_insert_target = 1_000_000
     L = 1024
     stride = ((L - k + 1) // 8) * 8
     B = (n_insert_target // stride + 127) // 128 * 128
-    mask = np.uint32((1 << m_bits) - 1)
-
-    def bit_positions(codes, h):
-        hi, lo, valid = canonical_hashes(codes, k, stride)
-        hs = multi_hashes(hi, lo, k, h)
-        # bit index = low m_bits of each derived hash (lo limb suffices)
-        return [jnp.where(valid, (l & mask).astype(jnp.int32), np.int32(-1)) for _hi, l in hs], valid
 
     print("# bloom filter FPR over multi_hashes (nttest analog)")
-    print(f"# k={k} m=2^{m_bits} bits, n~{B * stride:,} inserts")
+    print(f"# k={k} m=2^{m_bits} slots, n~{B * stride:,} inserts")
     for h in (1, 2, 3, 4):
         ins = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
         qry = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+        bf = BloomFilter(k, m_bits, n_hashes=h)
 
         t0 = time.perf_counter()
-        pos_ins, _v = bit_positions(ins, h)
-        # byte-per-bit filter: scatter-max of 0/1 IS the bitwise OR (a
-        # word-packed filter under scatter-max keeps only the largest bit
-        # per word per pass — silently underpopulated)
-        filt = jnp.zeros((1 << m_bits,), jnp.uint8)
-        for p in pos_ins:
-            filt = filt.at[p.reshape(-1)].max(np.uint8(1), mode="drop")
-        n_ins = int(np.asarray(_v.sum()))
+        n_ins = bf.insert_batch(ins, stride)
         t_ins = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        pos_q, vq = bit_positions(qry, h)
-        present = jnp.ones(pos_q[0].shape, bool)
-        for p in pos_q:
-            present = present & (filt[jnp.maximum(p, 0)] == 1)
-        fp = int(np.asarray((present & vq).sum()))
-        nq = int(np.asarray(vq.sum()))
+        present, vq = bf.contains_batch(qry, stride)
+        fp = int((present & vq).sum())
+        nq = int(vq.sum())
         t_q = time.perf_counter() - t0
-        # theoretical FPR for n inserts, m bits, h hashes
-        theo = (1.0 - np.exp(-h * n_ins / float(1 << m_bits))) ** h
         print(
-            f"h={h}: FPR {fp / max(nq, 1):.5f} (theory {theo:.5f})  "
+            f"h={h}: FPR {fp / max(nq, 1):.5f} (theory {bf.fpr_theory():.5f})  "
             f"insert {n_ins / t_ins / 1e6:6.1f} Mkmers/s  query {nq / t_q / 1e6:6.1f} Mkmers/s"
         )
 

@@ -67,54 +67,7 @@ def _emit_cap(n: int) -> int:
     return (cap + 127) // 128 * 128
 
 
-def _rank_colmajor(flat, sent):
-    """1-based rank of each non-sentinel element of ``flat`` under a fixed
-    (column-major over [*, 1024]) order — major-axis cumsums only (a
-    lane-axis cumsum is ~quadratic on this backend). Any consistent order
-    partitions the elements exactly, which is all the drain needs (the
-    table update is a commutative add)."""
-    m = (flat != sent).astype(jnp.int32)
-    pad = (-m.shape[0]) % 1024
-    if pad:
-        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
-    R2 = m.reshape(-1, 1024)
-    colsum = jnp.cumsum(R2, axis=0)
-    totals = colsum[-1]
-    offs = jnp.cumsum(totals) - totals
-    rank = (colsum + offs[None, :]).reshape(-1)
-    return rank[: flat.shape[0]]
-
-
-def _drain_windows(table, flat, cnt, sent, cap, interp):
-    """Exact in-program overflow path: re-compact the stream in cap-sized
-    rank windows and apply each with a small scatter (0 loop trips when
-    cnt <= cap — the masked hot-path scatter already applied everything).
-    Costs ~28 ms/k of fixed overhead on the real chip even untaken
-    (tools/probe_r27.py whiledrain), so the single-device sketch prefers
-    deferred host replay; this stays for the sharded path, where it is
-    self-contained per shard."""
-    from ntcard_tpu.ops.scatter_pallas import compact_pallas
-
-    def cond_fn(s):
-        return (cnt > np.int32(cap)) & (s[0] * np.int32(cap) < cnt)
-
-    def body(s):
-        j, t = s
-        rank = _rank_colmajor(flat, np.int32(sent))
-        lo = j * np.int32(cap)
-        sub = jnp.where(
-            (flat != np.int32(sent)) & (rank > lo) & (rank <= lo + np.int32(cap)),
-            flat,
-            np.int32(sent),
-        )
-        v2, _c2 = compact_pallas(sub, sent, cap, interpret=interp)
-        return j + np.int32(1), t.at[v2].add(1, mode="drop")
-
-    _, table = jax.lax.while_loop(cond_fn, body, (np.int32(0), table))
-    return table
-
-
-def _table_add(table, idx, r_bits, overflow="defer"):
+def _table_add(table, idx, r_bits):
     """(table[2*r_buck+1] += histogram(idx), overflowed) — idx is the emit
     stream (sentinel 2*r_buck marks "no update", landing in the ignored
     dump row).
@@ -128,19 +81,14 @@ def _table_add(table, idx, r_bits, overflow="defer"):
 
     Compaction-overflow exactness (an adversarial or repeat-heavy batch can
     exceed the cap): the hot path applies the batch ALL-OR-NOTHING (indices
-    masked to dropped when cnt > cap) — round-3 probing showed ANY
-    reference to the full stream from a cond/while fallback costs ~30-50
-    ms/k per batch even untaken (tools/probe_r27.py condfree/whiledrain),
-    so the recovery runs elsewhere:
-
-      * overflow="defer" (single-device default): return the per-batch
-        overflow flag; the sketch replays flagged (batch, k)s through the
-        separate full-scatter program (_replay_update) a few dispatches
-        later — bit-identical because the fold commutes and a flagged
-        batch contributed nothing.
-      * overflow="drain": recover in-program via cap-sized rank-window
-        re-compactions (0-trip while_loop normally) — used inside
-        shard_map where host replay machinery has no per-shard hook.
+    masked to dropped when cnt > cap) and returns the overflow flag —
+    round-3 probing showed ANY reference to the full stream from a
+    cond/while fallback costs ~30-50 ms/k per batch even untaken
+    (tools/probe_r27.py condfree/whiledrain), so recovery runs OUTSIDE this
+    program: the owning sketch replays flagged (batch, k) wires through the
+    separate full-scatter program (_replay_update / _replay_sharded) a few
+    dispatches later — bit-identical because the fold commutes and a
+    flagged batch contributed nothing.
 
     The reference semantics this preserves: every sampled k-mer increments
     its bucket exactly once (ntcard.cpp:437-439)."""
@@ -185,21 +133,17 @@ def _table_add(table, idx, r_bits, overflow="defer"):
     # the verified path
     masked = jnp.where(over, np.int32(-1), vals)
     table = table.at[masked].add(1, mode="drop")
-    if overflow == "drain":
-        table = _drain_windows(table, idx, cnt, sent, cap, interp)
-        return table, no
     return table, over
 
 
 def _update_impl(
-    tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False,
-    overflow="defer",
+    tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False
 ):
     """One batch step: tables = tuple of nK int32[2*rbuck+1] arrays; f1s
     [nK, 2] uint32 (hi, lo) exact 64-bit F1 accumulators. Returns
     (tables, f1s, flags) with flags [nK] bool — per-k compaction-overflow
-    markers the sketch replays (False everywhere unless overflow="defer"
-    and a batch actually overflowed; see _table_add).
+    markers the owning sketch replays through a separate program a few
+    dispatches later (see _table_add).
 
     Tables are SEPARATE per-k buffers, never a stacked [nK, T] array: on
     this TPU a scatter whose operand exceeds ~2.1 GiB falls off a cliff
@@ -217,9 +161,7 @@ def _update_impl(
     tables and F1 by construction (tests/test_pallas_kernel.py). Spaced
     seeds fall back to the XLA kernel (single-seed NTMS64 lives there)."""
     if os.environ.get("NTCARD_KERNEL") == "pallas" and not mask_positions:
-        return _update_pallas(
-            tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overflow
-        )
+        return _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed)
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
     new_f1s = []
     for i, k in enumerate(ks):
@@ -228,13 +170,13 @@ def _update_impl(
     new_tables = []
     flags = []
     for i, k in enumerate(ks):
-        t, over = _table_add(tables[i], idx[k], r_bits, overflow)
+        t, over = _table_add(tables[i], idx[k], r_bits)
         new_tables.append(t)
         flags.append(over)
     return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
-def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overflow):
+def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     """Pallas-backed batch step (called inside _update's jit trace). The
     kernel wants [B, L] row-major codes; wire batches are unpacked on
     device first (cheap fused elementwise pass; quad additionally costs a
@@ -266,7 +208,7 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, overf
         # the unsampled dump row so the sparse path masks both; the dump row
         # is never read, and the plain scatter's only difference is which
         # ignored bucket the sentinels land in
-        t, over = _table_add(tables[i], jnp.minimum(flat, sent0), r_bits, overflow)
+        t, over = _table_add(tables[i], jnp.minimum(flat, sent0), r_bits)
         new_tables.append(t)
         flags.append(over)
         f1 = (flat != sent1).sum(dtype=jnp.uint32)

@@ -41,7 +41,8 @@ def data_mesh(n_devices: int = 0) -> Mesh:
     donate_argnums=(0, 1),
 )
 def _sketch_update_sharded(
-    tables, f1s, codes, mesh, ks, stride, s_bits, r_bits, mask_positions, packed=False
+    tables, f1s, ocount, codes, mesh, ks, stride, s_bits, r_bits, mask_positions,
+    packed=False,
 ):
     """tables: tuple of nK [D, 2*rbuck+1] int32 arrays, f1s [D, nK, 2]
     uint32, both sharded on D; codes [D, rows, width] — one wire batch per
@@ -55,40 +56,84 @@ def _sketch_update_sharded(
     scan), so every single-chip optimization rides along and per-shard cost
     equals the single-chip step by construction. The merge at finalize is a
     sum over D (the psum analog of the reference's shared-table atomics,
-    ntcard.cpp:142-143)."""
+    ntcard.cpp:142-143).
+
+    Returns (tables, f1s, flags, ocount'): flags [D, nK] (or [D, n, nK] for
+    stacks) per-shard compaction-overflow markers and the running total —
+    the same deferred-replay contract as the single-chip step (the sketch
+    checks ocount once per window and replays flagged (shard, batch, k)
+    wires via _replay_sharded)."""
 
     from ntcard_tpu.models.sketch import _update_impl
 
     def local(tbl, f1, c):
-        # overflow="drain": compaction overflow recovers in-program (0-trip
-        # while_loop normally) — the host replay hook has no per-shard seam
         tbl = tuple(t[0] for t in tbl)
         f1 = f1[0]
         c = c[0]
         if c.ndim == 3:
             def body(carry, one):
                 t, f = carry
-                t, f, _flags = _update_impl(
-                    t, f, one, ks, stride, s_bits, r_bits, mask_positions, packed,
-                    overflow="drain",
+                t, f, flags = _update_impl(
+                    t, f, one, ks, stride, s_bits, r_bits, mask_positions, packed
                 )
-                return (t, f), None
+                return (t, f), flags
 
-            (tbl, f1), _ = jax.lax.scan(body, (tbl, f1), c)
+            (tbl, f1), flags = jax.lax.scan(body, (tbl, f1), c)
         else:
-            tbl, f1, _flags = _update_impl(
-                tbl, f1, c, ks, stride, s_bits, r_bits, mask_positions, packed,
-                overflow="drain",
+            tbl, f1, flags = _update_impl(
+                tbl, f1, c, ks, stride, s_bits, r_bits, mask_positions, packed
             )
-        return tuple(t[None] for t in tbl), f1[None]
+        return tuple(t[None] for t in tbl), f1[None], flags[None]
+
+    tables, f1s, flags = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )(tables, f1s, codes)
+    return tables, f1s, flags, ocount + flags.sum(dtype=jnp.uint32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0,),
+)
+def _replay_sharded(
+    tables, codes, flags, mesh, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
+    """Overflow replay for the sharded sketch: re-apply ONE per-shard wire
+    batch [D, rows, width] with the plain full-stream scatter, masked per
+    (shard, k) by ``flags`` [D, nK] — unflagged ks scatter an all-sentinel
+    stream (lands in the never-read dump row), so only the flagged shard's
+    flagged ks receive their (previously all-or-nothing-masked-out)
+    increments, exactly once. Runs only when an overflow actually happened;
+    the full-stream scatter cost is paid then, not per batch."""
+    from ntcard_tpu.ops.nthash import sketch_scan
+
+    sent = np.int32(2 * (1 << r_bits))
+
+    def local(tbl, c, fl):
+        tbl = tuple(t[0] for t in tbl)
+        c = c[0]
+        fl = fl[0]
+        idx, _f1 = sketch_scan(
+            c, ks, stride, s_bits, r_bits, mask_positions, packed=packed
+        )
+        new = []
+        for i, k in enumerate(ks):
+            masked = jnp.where(fl[i], idx[k], sent)
+            new.append(tbl[i].at[masked].add(1, mode="drop"))
+        return tuple(t[None] for t in new)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data")),
+        out_specs=P("data"),
         check_vma=False,
-    )(tables, f1s, codes)
+    )(tables, codes, flags)
 
 
 @jax.jit
@@ -137,6 +182,14 @@ class ShardedCountTableSketch:
         )
         self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk, 2), jnp.uint32), shard)
         self._row_sharding = shard
+        # deferred overflow replay — same contract as CountTableSketch
+        # (models/sketch.py): pending (flags, ocount, wire, packed) windows
+        # settled by one running-count fetch per NTCARD_REPLAY_LAG batches
+        self._pending: list = []
+        self._ocount = jnp.zeros((), jnp.uint32)
+        self._reaped = 0
+        self._replay_lag = int(__import__("os").environ.get("NTCARD_REPLAY_LAG", "32"))
+        self.replays = 0
 
     def _f1_totals(self):
         """Exact per-k F1 summed over shards (one device->host transfer)."""
@@ -158,9 +211,10 @@ class ShardedCountTableSketch:
         io.packing.pack_shard_wires) — or [n_dev, n, rows, width] superbatch
         stacks. Every shard runs the identical single-chip update program."""
         shards = jax.device_put(shards, self._row_sharding)
-        self.tables, self.f1s = _sketch_update_sharded(
+        self.tables, self.f1s, flags, self._ocount = _sketch_update_sharded(
             self.tables,
             self.f1s,
+            self._ocount,
             shards,
             self.mesh,
             self.ks,
@@ -170,8 +224,57 @@ class ShardedCountTableSketch:
             self.gap_positions,
             packed,
         )
+        self._pending.append((flags, self._ocount, shards, packed))
+        if len(self._pending) >= self._replay_lag:
+            self._reap_window()
+
+    def _reap_window(self, flush: bool = False) -> None:
+        """Same scheme as CountTableSketch._reap_window: one running-count
+        fetch settles a window of pending batches; a changed count (rare)
+        fetches the window's per-(shard, k) flags and replays them through
+        the masked sharded full-scatter program."""
+        if not self._pending:
+            return
+        m = len(self._pending) - 1
+        if not flush:
+            m = min(self._replay_lag // 2, m)
+        count = int(np.asarray(self._pending[m][1]))
+        window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
+        if count == self._reaped:
+            return
+        self._reaped = count
+        for flags, _oc, shards, packed in window:
+            f = np.asarray(flags)  # [D, nK] or [D, n, nK]
+            if not f.any():
+                continue
+            if f.ndim == 2:
+                subs = [(flags, shards)]
+            else:
+                subs = [
+                    (flags[:, j], shards[:, j])
+                    for j in range(f.shape[1])
+                    if f[:, j].any()
+                ]
+            for fl, wire in subs:
+                self.replays += 1
+                self.tables = _replay_sharded(
+                    self.tables,
+                    jax.device_put(wire, self._row_sharding),
+                    jax.device_put(fl, self._row_sharding),
+                    self.mesh,
+                    self.ks,
+                    self.stride,
+                    self.s_bits,
+                    self.r_bits,
+                    self.gap_positions,
+                    packed,
+                )
+
+    def _flush_replays(self) -> None:
+        self._reap_window(flush=True)
 
     def _merged_tables(self):
+        self._flush_replays()
         return _shard_merge(self.tables)
 
     def save(self, path: str) -> None:

@@ -100,28 +100,24 @@ def test_deferred_replay_flush_on_save(monkeypatch, baseline, tmp_path):
     assert state[K]["f1"] == baseline[K]["f1"]
 
 
-def test_drain_windows_bitexact(monkeypatch, baseline):
-    """The sharded path's in-program drain (overflow="drain") on the same
-    overflowing stream."""
-    from ntcard_tpu.models import sketch as S
+def test_sharded_replay_bitexact(monkeypatch, baseline):
+    """The sharded sketch's deferred replay (masked per-(shard, k) sharded
+    full scatter, parallel/data_parallel._replay_sharded) on the same
+    overflowing stream — bit-identical to the plain single-device run."""
+    from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
 
     monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
     jax.clear_caches()
     try:
-        tables = (jnp.zeros((2 * (1 << R_BITS) + 1,), jnp.int32),)
-        f1s = jnp.zeros((1, 2), jnp.uint32)
-        for b in pack_records(_overflow_records(), CHUNK, ROWS, K):
-            tables, f1s, flags = S._update_impl(
-                tables, f1s, jnp.asarray(b), (K,), STRIDE, S_BITS, R_BITS, None,
-                False, overflow="drain",
-            )
-            assert not bool(np.asarray(flags).any())  # drain never defers
-        got = np.asarray(tables[0][: 2 * (1 << R_BITS)]).astype(np.uint16)
+        sh = ShardedCountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        for b in pack_records(_overflow_records(), CHUNK, ROWS * sh.n_dev, K):
+            sh.update(b)
+        state = sh.finalize(return_table=True)
     finally:
         jax.clear_caches()
-    np.testing.assert_array_equal(
-        got.reshape(2, 1 << R_BITS), baseline[K]["table"]
-    )
+    assert sh.replays >= 1
+    np.testing.assert_array_equal(state[K]["table"], baseline[K]["table"])
+    assert state[K]["f1"] == baseline[K]["f1"]
 
 
 def test_superbatch_stack_replay_bitexact(monkeypatch, baseline):

@@ -481,6 +481,44 @@ def main() -> int:
 
         dt = chained(step, batches, acc_factory)
 
+    elif phase == "shardwrap":
+        # per-shard step cost through the sharded path (shard_map +
+        # _update_impl on a 1-device mesh) vs the plain single-chip _update
+        # — VERDICT r2 #2's "per-shard step ~= single-chip step" evidence on
+        # real hardware (multi-chip isn't available; the wrapper overhead
+        # and the per-shard program are what this isolates).
+        import jax.numpy as jnp2  # noqa: F401
+
+        from ntcard_tpu.parallel.data_parallel import (
+            ShardedCountTableSketch,
+            _sketch_update_sharded,
+        )
+
+        sh = ShardedCountTableSketch(KS, S_BITS, R_BITS, stride, n_devices=1)
+        batches = [
+            np.ascontiguousarray(
+                rng.integers(0, 4, (1, BATCH_ROWS, CHUNK_LEN), dtype=np.uint8)
+            )
+            for _ in range(nb)
+        ]
+
+        def step(c, acc):
+            t, f, oc = acc
+            t, f, _flags, oc = _sketch_update_sharded(
+                t, f, oc, jnp.asarray(c), sh.mesh, KS, stride, S_BITS, R_BITS,
+                None, False,
+            )
+            return t, f, oc
+
+        def acc_factory():
+            return (
+                tuple(jnp.zeros((1, T), jnp.int32) for _ in KS),
+                jnp.zeros((1, len(KS), 2), jnp.uint32),
+                jnp.zeros((), jnp.uint32),
+            )
+
+        dt = chained(step, batches, acc_factory)
+
     elif phase in ("cs", "csnof1"):
         # hash + per-k compact + per-k scatter into donated separate tables,
         # WITHOUT the f1 accumulation / cond ("csnof1") or with plain uint32

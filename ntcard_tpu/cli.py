@@ -311,7 +311,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.output import write_compact, write_default
-    from ntcard_tpu.parallel.data_parallel import ShardedCountTableSketch
+    from ntcard_tpu.parallel.data_parallel import make_sharded_sketch
     from ntcard_tpu.pipeline import (
         default_geometry,
         device_prefetch,
@@ -358,7 +358,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
         )
     elif n_dev > 1:
-        sketch = ShardedCountTableSketch(
+        # chains (per-device private sketches) or shard_map, per
+        # NTCARD_SHARDED — bit-identical either way (test_sharding)
+        sketch = make_sharded_sketch(
             ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions, n_devices=n_dev
         )
         batch_rows = max(128, batch_rows // n_dev) * n_dev

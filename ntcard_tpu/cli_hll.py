@@ -131,7 +131,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.io.readers import expand_file_args
     from ntcard_tpu.models.hll import HllSketch, estimate_f0
-    from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
+    from ntcard_tpu.parallel.data_parallel import make_sharded_hll
     from ntcard_tpu.parallel.multihost import (
         host_file_assignment,
         initialize_distributed,
@@ -162,19 +162,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         # at the end (merged_hll_registers)
         sketch = HllSketch(km_len, n_bits, stride)
     elif n_dev > 1:
-        sketch = ShardedHllSketch(km_len, n_bits, stride, n_devices=n_dev)
+        sketch = make_sharded_hll(km_len, n_bits, stride, n_devices=n_dev)
         batch_rows = max(128, batch_rows // n_dev) * n_dev
     else:
         sketch = HllSketch(km_len, n_bits, stride)
-    from ntcard_tpu.io.packing import quad2_ok, quad_ok, wire_mode_of
+    from ntcard_tpu.io.packing import (
+        pack_shard_wires,
+        quad2_ok,
+        quad_ok,
+        wire_mode_of,
+    )
 
-    # 2-bit quad/quad2 wire for the private-sketch paths (see cli.py); the
-    # row-sharded sketch needs the nibble wire
+    # 2-bit quad/quad2 wire (see cli.py); the multi-device sketch packs one
+    # wire PER SHARD (per-shard sidecars), judged on per-shard geometry
+    sharded = n_procs == 1 and n_dev > 1
+    rows_ps = batch_rows // n_dev if sharded else batch_rows
     wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
-    private_sketch = n_procs > 1 or n_dev == 1
-    if wire_env == "quad2" and private_sketch and quad2_ok(batch_rows, stride):
+    private_sketch = not sharded
+    if wire_env == "quad2" and quad2_ok(rows_ps, stride):
         wire_fmt = "quad2"
-    elif wire_env in ("quad", "quad2") and private_sketch and quad_ok(batch_rows, chunk_len):
+    elif wire_env in ("quad", "quad2") and quad_ok(rows_ps, chunk_len):
         wire_fmt = "quad"
     else:
         wire_fmt = True
@@ -224,15 +231,29 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raw, host_sketch.update, total_hint=est_batches
             )
         )
+    elif sharded:
+        raw = parallel_batches_from_files(
+            in_files, chunk_len, batch_rows, km_len, n_thrd,
+            lenient=True, on_error="skip",
+        )
+        batches = (
+            pack_shard_wires(b, n_dev, wire_fmt if use_quad else True, stride)
+            for b in raw
+        )
     else:
         batches = parallel_batches_from_files(
             in_files, chunk_len, batch_rows, km_len, n_thrd,
             lenient=True, on_error="skip", wire_packed=wire_fmt,
         )
     for batch in device_prefetch(batches):
-        sketch.update(
-            batch, packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True
-        )
+        if sharded:
+            sketch.update_shards(
+                batch, packed=wire_mode_of(batch[0], rows_ps, halo)
+            )
+        else:
+            sketch.update(
+                batch, packed=wire_mode_of(batch, batch_rows, halo) if use_quad else True
+            )
     regs = merged_hll_registers(sketch) if n_procs > 1 else sketch.registers()
     if host_sketch is not None:
         import numpy as _np

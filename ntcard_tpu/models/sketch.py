@@ -321,45 +321,6 @@ def _hist_row_device_small(row, nbins):
     return jnp.stack([(v == np.int32(b)).sum(dtype=jnp.int32) for b in range(nbins)])
 
 
-@partial(jax.jit, static_argnames=("nbins", "interp"))
-def _hist_row_device_sparse(row, nbins, interp):
-    """int32[r_buck] -> int32[nbins] counter-value histogram that exploits
-    table sparsity: bin 0 (untouched buckets — the overwhelming majority;
-    nonzero buckets ~ sampled distinct k-mers) is one reduction, the
-    in-range nonzero values are compacted (ops/scatter_pallas) and applied
-    with a small scatter. The per-bin compare-reduce alternative costs
-    ~5 ms/bin at r27 (the default -c1000 would take ~30 s per run) and a
-    full-row 65536-bin scatter costs seconds; this is ~2 fused passes +
-    ~200 ns per nonzero bucket. A (deep-coverage) table whose in-range
-    nonzero count exceeds the compaction buffer falls back to the exact
-    full-row scatter under a cond — a once-per-run finalize cost, unlike
-    the per-batch update where that pattern is banned
-    (docs/TPU_BACKEND_NOTES.md round-3 addenda)."""
-    from ntcard_tpu.ops.scatter_pallas import compact_pallas
-
-    v = (row & 0xFFFF).astype(jnp.int32)
-    zero_cnt = (v == 0).sum(dtype=jnp.int32)
-    sent = 65536  # > any wrapped counter value
-    w = jnp.where((v >= 1) & (v < np.int32(nbins)), v, np.int32(sent))
-    cap = _HIST_CAP  # 1 MB VMEM output buffer; typical nonzero counts ~1e4
-    vals, cnt = compact_pallas(w, sent, cap, interpret=interp)
-
-    def sparse(_):
-        # empty compaction slots are -1, which .at[] WRAPS (NumPy
-        # semantics) rather than drops — route them to an explicit discard
-        # bin. (The emit-path table scatters tolerate raw -1 only because
-        # it wraps to the never-read sentinel dump row.)
-        idx2 = jnp.where(vals < 0, np.int32(nbins), vals)
-        h = jnp.zeros((nbins + 1,), jnp.int32).at[idx2].add(1)[:nbins]
-        return h.at[0].set(zero_cnt)
-
-    def fallback(vv):
-        clamped = jnp.minimum(vv, np.int32(nbins))  # nbins = discard bin
-        return jnp.zeros((nbins + 1,), jnp.int32).at[clamped].add(1)[:nbins]
-
-    return jax.lax.cond(cnt <= np.int32(cap), sparse, fallback, v)
-
-
 _HIST_CAP = 1 << 18  # sparse-hist compaction slots (1 MB VMEM buffer)
 
 
@@ -367,19 +328,40 @@ def _hist_row_sparse_parts(row, nbins, interp):
     """No-cond core of the sparse counter-hist: (hist, cnt) where hist is
     only valid when cnt <= _HIST_CAP — the caller (host-driven finalize)
     checks cnt and substitutes the exact scatter fallback, avoiding a
-    device cond over the GiB row (see _hist_row_device_sparse docstring)."""
+    device cond over the GiB row. The whole thing is ONE pass over the row:
+    the compaction kernel's prefilter mode reads counters mod 2^16 (the
+    reference's uint16 wrap), keeps the in-range nonzero values, and counts
+    the wrapped-zero (untouched) buckets in the same sweep
+    (ops/scatter_pallas.compact_pallas). The per-bin compare-reduce
+    alternative costs ~5 ms/bin at r27 (the default -c1000 would take ~30 s
+    per run) and a full-row 65536-bin scatter costs seconds."""
     from ntcard_tpu.ops.scatter_pallas import compact_pallas
 
-    v = (row & 0xFFFF).astype(jnp.int32)
-    zero_cnt = (v == 0).sum(dtype=jnp.int32)
-    sent = 65536
-    w = jnp.where((v >= 1) & (v < np.int32(nbins)), v, np.int32(sent))
-    vals, cnt = compact_pallas(w, sent, _HIST_CAP, interpret=interp)
+    vals, cnt, zero_cnt = compact_pallas(
+        row, -1, _HIST_CAP, interpret=interp, prefilter=(1, nbins)
+    )
     # -1 empty slots (and any overflow-row garbage) route to a discard bin:
     # .at[] WRAPS negative indices (NumPy semantics) instead of dropping
     idx2 = jnp.where(vals < 0, np.int32(nbins), vals)
     h = jnp.zeros((nbins + 1,), jnp.int32).at[idx2].add(1, mode="drop")[:nbins]
     return h.at[0].set(zero_cnt), cnt
+
+
+@partial(jax.jit, static_argnames=("nbins", "interp"))
+def _hist_row_device_sparse(row, nbins, interp):
+    """int32[r_buck] -> int32[nbins] counter-value histogram that exploits
+    table sparsity (see _hist_row_sparse_parts). A (deep-coverage) row
+    whose in-range nonzero count exceeds the compaction buffer falls back
+    to the exact full-row scatter under a cond — this variant exists for
+    callers inside shard_map (parallel/multihost.py) where the host cannot
+    branch; host-driven finalize uses the parts directly."""
+    h, cnt = _hist_row_sparse_parts(row, nbins, interp)
+
+    def fallback(vv):
+        clamped = jnp.minimum(vv & 0xFFFF, np.int32(nbins))  # nbins = discard
+        return jnp.zeros((nbins + 1,), jnp.int32).at[clamped].add(1)[:nbins]
+
+    return jax.lax.cond(cnt <= np.int32(_HIST_CAP), lambda _: h, fallback, row)
 
 
 @partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))

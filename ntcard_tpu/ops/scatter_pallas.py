@@ -155,14 +155,17 @@ def hist_add_pallas(
     return out.reshape(-1)[:tsize]
 
 
-def _extract_multi_full(idx_ref, w, fpos, sent, update, ways):
+def _extract_multi_full(idx_ref, w, fpos, sent, update, ways, transform=None):
     """Iterated extraction for arbitrary int32 payloads (no 18-bit bound):
     the extraction order rides on positions alone and the value is fetched
     with a second masked reduction — two vector->scalar moves per element,
     so ``ways`` windows run interleaved with independent carries to
     pipeline the moves. ``update(pos, val)`` is called once per
-    non-sentinel element; pos == _BIG means an exhausted stream."""
-    rows = [idx_ref[pl.ds((w * ways + j) * 8, 8), :] for j in range(ways)]
+    non-sentinel element; pos == _BIG means an exhausted stream.
+    ``transform`` (optional) maps each loaded VMEM row elementwise before
+    extraction (value rewrite + sentinel mapping — the prefilter path)."""
+    load = (lambda sl: transform(idx_ref[sl])) if transform else (lambda sl: idx_ref[sl])
+    rows = [load(pl.ds((w * ways + j) * 8, 8)) for j in range(ways)]
     encs = [jnp.where(r != sent, fpos, _BIG) for r in rows]
     n = jnp.sum((rows[0] != sent).astype(jnp.int32))
     for r in rows[1:]:
@@ -180,7 +183,7 @@ def _extract_multi_full(idx_ref, w, fpos, sent, update, ways):
     jax.lax.fori_loop(0, n, body, tuple(np.int32(-1) for _ in range(ways)))
 
 
-def _extract_multi_packed2(idx_ref, w, fpos, sent, update, ways):
+def _extract_multi_packed2(idx_ref, w, fpos, sent, update, ways, transform=None):
     """Iterated extraction for values < 2^31 with NO serial reduction chain:
     the value is split across two pos-keyed packed encodings,
 
@@ -194,8 +197,10 @@ def _extract_multi_packed2(idx_ref, w, fpos, sent, update, ways):
     in parallel with it. fpos must be < 2^13 (the [8, 1024] window flat
     positions); the 17/14 payload split keeps every real encoding strictly
     below the _BIG exhaustion sentinel (an 18-bit low split would make
-    pos 8191 + all-ones low bits collide with it)."""
-    rows = [idx_ref[pl.ds((w * ways + j) * 8, 8), :] for j in range(ways)]
+    pos 8191 + all-ones low bits collide with it). ``transform`` as in
+    _extract_multi_full."""
+    load = (lambda sl: transform(idx_ref[sl])) if transform else (lambda sl: idx_ref[sl])
+    rows = [load(pl.ds((w * ways + j) * 8, 8)) for j in range(ways)]
     encAs, encBs = [], []
     for r in rows:
         m = r != sent
@@ -220,12 +225,14 @@ def _extract_multi_packed2(idx_ref, w, fpos, sent, update, ways):
 
 def _compact_kernel(
     idx_ref, out_ref, cnt_out_ref, cnt_ref, *, sent, cap_rows, block_rows, ways,
-    extractor
+    extractor, prefilter=None
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.full((cap_rows, 128), np.int32(-1))
         cnt_ref[0] = np.int32(0)
+        if prefilter is not None:
+            cnt_ref[1] = np.int32(0)
 
     fpos = _window_iotas()
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -244,19 +251,39 @@ def _compact_kernel(
             out_ref[pl.ds(rs, 1), :] = cur + onehot * (val + np.int32(1))
             cnt_ref[0] = c + np.int32(1)
 
+    transform = None
+    if prefilter is not None:
+        lo, hi = prefilter
+
+        def transform(raw):
+            # pad/sentinel is -1 (no non-negative count equals it); values
+            # are wrapped mod 2^16 (the reference's uint16 table read) and
+            # kept only in [lo, hi)
+            r16 = raw & np.int32(0xFFFF)
+            keep = (raw != np.int32(sent)) & (r16 >= np.int32(lo)) & (r16 < np.int32(hi))
+            return jnp.where(keep, r16, np.int32(sent))
+
     def w_body(w, _):
-        extractor(idx_ref, w, fpos, sent, update, ways)
+        if prefilter is not None:
+            # bin-0 count (wrapped value 0) over the same VMEM block — the
+            # caller's histogram needs it and a separate XLA pass over the
+            # GiB row would cost a full HBM read
+            raw = idx_ref[pl.ds(w * ways * 8, 8 * ways), :]
+            z = (raw != np.int32(sent)) & ((raw & np.int32(0xFFFF)) == 0)
+            cnt_ref[1] = cnt_ref[1] + jnp.sum(z.astype(jnp.int32))
+        extractor(idx_ref, w, fpos, sent, update, ways, transform=transform)
         return 0
 
     jax.lax.fori_loop(0, block_rows // (8 * ways), w_body, 0)
 
-    # scalar stores to VMEM are illegal; emit the running count as a one-hot
-    # row add on the final grid step
+    # scalar stores to VMEM are illegal; emit the running count(s) as
+    # one-hot row adds on the final grid step
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        cnt_out_ref[:] = (
-            (lane128 == np.int32(0)).astype(jnp.int32) * cnt_ref[0]
-        )
+        row = (lane128 == np.int32(0)).astype(jnp.int32) * cnt_ref[0]
+        if prefilter is not None:
+            row = row + (lane128 == np.int32(1)).astype(jnp.int32) * cnt_ref[1]
+        cnt_out_ref[:] = row
 
 
 def compact_packed2_default() -> bool:
@@ -269,7 +296,8 @@ def compact_packed2_default() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sent", "cap", "interpret", "block_rows", "packed2")
+    jax.jit,
+    static_argnames=("sent", "cap", "interpret", "block_rows", "packed2", "prefilter"),
 )
 def compact_pallas(
     idx: jnp.ndarray,
@@ -278,6 +306,7 @@ def compact_pallas(
     interpret: bool = False,
     block_rows: int = _BLOCK_ROWS,
     packed2: bool | None = None,
+    prefilter: tuple | None = None,
 ):
     """Compact the non-sentinel elements of ``idx`` (any shape, int32 >= 0,
     ``sent`` marks "no update") into a dense int32[cap] buffer (unused tail
@@ -287,11 +316,21 @@ def compact_pallas(
     updates instead of idx.size — this is how tables too large for VMEM
     (the rBits=27 default) exploit emit sparsity. If count > cap the buffer
     is invalid; callers must test and fall back to the full scatter
-    (models/sketch.py wraps this in a lax.cond)."""
+    (models/sketch.py wraps this in a lax.cond).
+
+    ``prefilter=(lo, hi)`` is the finalize counter-hist mode: elements are
+    table counter values, read as ``v & 0xFFFF`` (the reference's uint16
+    wrap) and kept only when lo <= wrapped < hi; ``sent`` must be -1 (no
+    non-negative counter equals it; it also pads). Returns a THIRD value —
+    the count of wrapped-zero (untouched-bucket) elements — so the caller's
+    whole histogram needs exactly one pass over the GiB row instead of
+    separate mask/zero-count passes."""
     if cap % 128:
         raise ValueError(f"cap ({cap}) must be a multiple of 128")
     if block_rows % 16:
         raise ValueError(f"block_rows ({block_rows}) must be a multiple of 16")
+    if prefilter is not None and sent != -1:
+        raise ValueError("prefilter mode requires sent == -1 (pad/sentinel)")
     cap_rows = (cap // 128 + 7) // 8 * 8
     rows = _pad_rows(idx.reshape(-1), np.int32(sent), block_rows)
     grid = rows.shape[0] // block_rows
@@ -308,6 +347,7 @@ def compact_pallas(
             extractor=_extract_multi_packed2
             if (compact_packed2_default() if packed2 is None else packed2)
             else _extract_multi_full,
+            prefilter=prefilter,
         ),
         grid=(grid,),
         in_specs=[
@@ -321,7 +361,9 @@ def compact_pallas(
             jax.ShapeDtypeStruct((cap_rows, 128), jnp.int32),
             jax.ShapeDtypeStruct((1, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2 if prefilter is not None else 1,), jnp.int32)],
         interpret=interpret,
     )(rows)
+    if prefilter is not None:
+        return vals.reshape(-1)[:cap], cnt[0, 0], cnt[0, 1]
     return vals.reshape(-1)[:cap], cnt[0, 0]

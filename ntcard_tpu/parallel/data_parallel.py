@@ -308,11 +308,122 @@ class ShardedCountTableSketch:
         return out
 
 
+def sharded_backend() -> str:
+    """Multi-device engine selection (NTCARD_SHARDED=chains|shardmap|auto).
+
+    "chains" drives one PRIVATE single-chip sketch per device (per-device
+    donation chains; every device runs the IDENTICAL single-chip program,
+    so per-shard cost == single-chip cost by construction) and merges at
+    finalize. "shardmap" is the mesh-collective formulation
+    (_sketch_update_sharded). They are bit-identical; the default is
+    chains on accelerator runtimes because shard_map's manual-lowering
+    path costs ~450 ms/batch of fixed overhead on the measured tunneled
+    TPU runtime — even for a pure hash body with no tables
+    (docs/TPU_BACKEND_NOTES.md round-3 addenda; tools/probe_r27.py
+    shardhash/shardwrap) — while the chains engine adds nothing."""
+    import os
+
+    env = os.environ.get("NTCARD_SHARDED", "auto")
+    if env in ("chains", "shardmap"):
+        return env
+    return "chains" if jax.devices()[0].platform != "cpu" else "shardmap"
+
+
+def make_sharded_sketch(ks, s_bits, r_bits, stride, gap_positions=None, n_devices=0):
+    """The CLI's multi-device count-table sketch, per sharded_backend()."""
+    cls = (
+        PerDeviceCountTableSketch
+        if sharded_backend() == "chains"
+        else ShardedCountTableSketch
+    )
+    return cls(ks, s_bits, r_bits, stride, gap_positions=gap_positions, n_devices=n_devices)
+
+
+class PerDeviceCountTableSketch:
+    """Data parallelism as per-device PRIVATE single-chip sketches: shard d's
+    wire batches feed a models.sketch.CountTableSketch whose buffers live on
+    device d (independent donation chains dispatch concurrently), and the
+    commutative sum merges them at finalize — the same bit-exactness
+    argument as the shard_map engine, without its measured per-dispatch
+    manual-lowering overhead. Every single-chip optimization (sparse Pallas
+    update, quad2 wire decode, superbatch scan, deferred overflow replay)
+    runs unchanged per device."""
+
+    def __init__(
+        self,
+        ks: Sequence[int],
+        s_bits: int,
+        r_bits: int,
+        stride: int,
+        gap_positions: Sequence[int] | None = None,
+        n_devices: int = 0,
+    ):
+        from ntcard_tpu.models.sketch import CountTableSketch
+
+        devs = jax.devices()
+        if n_devices:
+            devs = devs[:n_devices]
+        self.devices = devs
+        self.n_dev = len(devs)
+        self.ks = tuple(ks)
+        self.s_bits, self.r_bits, self.stride = s_bits, r_bits, stride
+        self.gap_positions = tuple(gap_positions) if gap_positions else None
+        self.r_buck = 1 << r_bits
+        self._sketches = []
+        for d in devs:
+            with jax.default_device(d):
+                self._sketches.append(
+                    CountTableSketch(
+                        ks, s_bits, r_bits, stride, gap_positions=gap_positions
+                    )
+                )
+
+    @property
+    def replays(self) -> int:
+        return sum(s.replays for s in self._sketches)
+
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
+        """codes: [n_dev * rows, L] raw (or nibble wire when ``packed``)."""
+        d = self.n_dev
+        self.update_shards(codes.reshape(d, codes.shape[0] // d, codes.shape[1]), packed)
+
+    def update_shards(self, shards, packed=False) -> None:
+        """shards: [n_dev, rows, width] (or [n_dev, n, rows, width] stacks)
+        — shard d dispatches to device d; the per-device programs run
+        concurrently (independent donation chains)."""
+        for i, (s, dev) in enumerate(zip(shards, self.devices)):
+            with jax.default_device(dev):
+                self._sketches[i].update(jax.device_put(s, dev), packed=packed)
+
+    def _merged(self):
+        """Fold every device's sketch into device 0's (tables ride one
+        device-to-device transfer each — ICI on real multi-chip)."""
+        head = self._sketches[0]
+        for other in self._sketches[1:]:
+            other._flush_replays()
+            other.tables = tuple(
+                jax.device_put(t, self.devices[0]) for t in other.tables
+            )
+            other.f1s = jax.device_put(other.f1s, self.devices[0])
+            head.merge_(other)
+        self._sketches = [head]
+        return head
+
+    def save(self, path: str) -> None:
+        self._merged().save(path)
+
+    def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
+        return self._merged().finalize(return_table=return_table, cov_max=cov_max)
+
+
 @partial(
     jax.jit, static_argnames=("mesh", "k", "stride", "n_bits", "packed"), donate_argnums=(0,)
 )
 def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits, packed=False):
     def local(r, c):
+        # codes per shard: [rows, L] (legacy row split) or [1, rows, width]
+        # (one complete wire per shard, update_shards)
+        c = c[0] if c.ndim == 3 else c
         reg_idx, run0 = hll_scan(c, k, stride, n_bits, packed=packed)
         return r[0].at[reg_idx].max(run0)[None]
 
@@ -320,6 +431,46 @@ def _hll_update_sharded(regs, codes, mesh, k, stride, n_bits, packed=False):
         local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
         check_vma=False,
     )(regs, codes)
+
+
+def make_sharded_hll(k: int, n_bits: int, stride: int, n_devices: int = 0):
+    """The CLI's multi-device HLL sketch, per sharded_backend()."""
+    cls = PerDeviceHllSketch if sharded_backend() == "chains" else ShardedHllSketch
+    return cls(k, n_bits, stride, n_devices=n_devices)
+
+
+class PerDeviceHllSketch:
+    """Per-device private HLL register sets, max-merged at the end — the
+    chains analog of ShardedHllSketch (see PerDeviceCountTableSketch for
+    why chains are the accelerator default)."""
+
+    def __init__(self, k: int, n_bits: int, stride: int, n_devices: int = 0):
+        from ntcard_tpu.models.hll import HllSketch
+
+        devs = jax.devices()
+        if n_devices:
+            devs = devs[:n_devices]
+        self.devices = devs
+        self.n_dev = len(devs)
+        self.k, self.n_bits, self.stride = k, n_bits, stride
+        self.n_buck = 1 << n_bits
+        self._sketches = []
+        for d in devs:
+            with jax.default_device(d):
+                self._sketches.append(HllSketch(k, n_bits, stride))
+
+    def update(self, codes: np.ndarray, packed: bool = False) -> None:
+        d = self.n_dev
+        self.update_shards(codes.reshape(d, codes.shape[0] // d, codes.shape[1]), packed)
+
+    def update_shards(self, shards, packed=False) -> None:
+        for i, (s, dev) in enumerate(zip(shards, self.devices)):
+            with jax.default_device(dev):
+                self._sketches[i].update(jax.device_put(s, dev), packed=packed)
+
+    def registers(self) -> np.ndarray:
+        regs = np.stack([np.asarray(s.regs) for s in self._sketches])
+        return regs.max(axis=0).astype(np.uint8)
 
 
 class ShardedHllSketch:
@@ -345,6 +496,11 @@ class ShardedHllSketch:
         self.regs = _hll_update_sharded(
             self.regs, codes, self.mesh, self.k, self.stride, self.n_bits, packed
         )
+
+    def update_shards(self, shards, packed=False) -> None:
+        """shards: [n_dev, rows, width] — one complete wire batch per shard
+        (io.packing.pack_shard_wires)."""
+        self.update(shards, packed)
 
     def registers(self) -> np.ndarray:
         return np.asarray(jnp.max(self.regs, axis=0)).astype(np.uint8)  # pmax analog

@@ -92,3 +92,67 @@ def test_pack_shard_wires_homogenizes_on_overflow():
     batch[128:, :] = 4
     shards = pack_shard_wires(batch, 2, "quad", STRIDE)
     assert shards.shape == (2, 64, L)  # nibble rows = 128/2
+
+
+def test_chains_engine_bitexact(records, monkeypatch):
+    """The per-device-chains multi-device engine (NTCARD_SHARDED=chains;
+    the accelerator default — shard_map's manual lowering costs ~450
+    ms/batch on the measured TPU runtime) must be bit-identical to both the
+    single-device run and the shard_map engine, through per-shard quad2
+    wires and superbatch stacks."""
+    from ntcard_tpu.parallel.data_parallel import PerDeviceCountTableSketch
+
+    ks = (12, 32)
+    want = _single_ref(records, ks)
+    pd = PerDeviceCountTableSketch(ks, 7, 12, STRIDE)
+    rows_ps = ROWS // pd.n_dev
+    halo = CHUNK - STRIDE
+    wires = [
+        pack_shard_wires(b, pd.n_dev, "quad2", STRIDE)
+        for b in pack_records(records, CHUNK, ROWS, KMAX)
+    ]
+    i = 0
+    while i < len(wires):
+        grp = [w for w in wires[i : i + 2] if w.shape == wires[i].shape]
+        stack = np.stack(grp, axis=1) if len(grp) == 2 else wires[i]
+        mode = wire_mode_of(wires[i][0], rows_ps, halo)
+        pd.update_shards(stack, packed=mode)
+        i += len(grp)
+    got = pd.finalize(return_table=True)
+    for k in ks:
+        assert got[k]["f1"] == want[k]["f1"]
+        np.testing.assert_array_equal(got[k]["table"], want[k]["table"])
+
+
+def test_chains_hll_bitexact(records):
+    from ntcard_tpu.models.hll import HllSketch
+    from ntcard_tpu.parallel.data_parallel import PerDeviceHllSketch
+
+    ref = HllSketch(25, 10, STRIDE)
+    for b in pack_records(records, CHUNK, ROWS, KMAX):
+        ref.update(b)
+    pd = PerDeviceHllSketch(25, 10, STRIDE)
+    rows_ps = ROWS // pd.n_dev
+    halo = CHUNK - STRIDE
+    for b in pack_records(records, CHUNK, ROWS, KMAX):
+        shards = pack_shard_wires(b, pd.n_dev, "quad2", STRIDE)
+        pd.update_shards(shards, packed=wire_mode_of(shards[0], rows_ps, halo))
+    np.testing.assert_array_equal(pd.registers(), ref.registers())
+
+
+def test_sharded_hll_wire_bitexact(records):
+    """ShardedHllSketch with per-shard quad2 wires (the shard_map HLL
+    engine's new update_shards surface)."""
+    from ntcard_tpu.models.hll import HllSketch
+    from ntcard_tpu.parallel.data_parallel import ShardedHllSketch
+
+    ref = HllSketch(25, 10, STRIDE)
+    for b in pack_records(records, CHUNK, ROWS, KMAX):
+        ref.update(b)
+    sh = ShardedHllSketch(25, 10, STRIDE)
+    rows_ps = ROWS // sh.n_dev
+    halo = CHUNK - STRIDE
+    for b in pack_records(records, CHUNK, ROWS, KMAX):
+        shards = pack_shard_wires(b, sh.n_dev, "quad2", STRIDE)
+        sh.update_shards(shards, packed=wire_mode_of(shards[0], rows_ps, halo))
+    np.testing.assert_array_equal(sh.registers(), ref.registers())

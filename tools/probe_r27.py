@@ -495,9 +495,13 @@ def main() -> int:
         )
 
         sh = ShardedCountTableSketch(KS, S_BITS, R_BITS, stride, n_devices=1)
+        # pre-put with the row sharding: the plain-update probe times
+        # device-resident batches, so this must too (a per-step 8.4 MB put
+        # costs ~180 ms of tunnel transfer and would swamp the comparison)
         batches = [
-            np.ascontiguousarray(
-                rng.integers(0, 4, (1, BATCH_ROWS, CHUNK_LEN), dtype=np.uint8)
+            jax.device_put(
+                rng.integers(0, 4, (1, BATCH_ROWS, CHUNK_LEN), dtype=np.uint8),
+                sh._row_sharding,
             )
             for _ in range(nb)
         ]
@@ -505,7 +509,7 @@ def main() -> int:
         def step(c, acc):
             t, f, oc = acc
             t, f, _flags, oc = _sketch_update_sharded(
-                t, f, oc, jnp.asarray(c), sh.mesh, KS, stride, S_BITS, R_BITS,
+                t, f, oc, c, sh.mesh, KS, stride, S_BITS, R_BITS,
                 None, False,
             )
             return t, f, oc
@@ -518,6 +522,100 @@ def main() -> int:
             )
 
         dt = chained(step, batches, acc_factory)
+
+    elif phase in ("shardscatter", "shardhash", "shardcs"):
+        # bisect the shardwrap 5x penalty: the same isolated stages as
+        # scatter3sep / hash / cs, but wrapped in a 1-device-mesh shard_map.
+        from functools import partial as _partial
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+
+        if phase == "shardscatter":
+            batches = [
+                jax.device_put(
+                    rng.integers(0, 2 * r_buck, (1, 3, cap), dtype=np.int32), shard
+                )
+                for _ in range(nb)
+            ]
+
+            @_partial(jax.jit, donate_argnums=(1,))
+            def step(v, ts):
+                def local(vv, tt):
+                    tt = tuple(t[0] for t in tt)
+                    vv = vv[0]
+                    return tuple(
+                        t.at[vv[i]].add(1, mode="drop")[None] for i, t in enumerate(tt)
+                    )
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )(v, ts)
+
+            dt = chained(
+                step, batches,
+                lambda: tuple(jnp.zeros((1, T), jnp.int32) for _ in range(3)),
+            )
+        else:
+            batches = [
+                jax.device_put(
+                    rng.integers(0, 4, (1, BATCH_ROWS, CHUNK_LEN), dtype=np.uint8),
+                    shard,
+                )
+                for _ in range(nb)
+            ]
+            if phase == "shardhash":
+
+                @jax.jit
+                def step(c, acc):
+                    def local(cc):
+                        idx, _f1 = sketch_scan(cc[0], KS, stride, S_BITS, R_BITS, None)
+                        s = jnp.int32(0)
+                        for k in KS:
+                            s = s + jnp.sum(idx[k], dtype=jnp.int32)
+                        return s[None]
+
+                    out = jax.shard_map(
+                        local, mesh=mesh, in_specs=(P("data"),),
+                        out_specs=P("data"), check_vma=False,
+                    )(c)
+                    return acc + out.sum()
+
+                dt = chained(step, batches, lambda: jnp.int32(0))
+            else:  # shardcs: hash + compact + scatter + f1 inside shard_map
+                from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+                @_partial(jax.jit, donate_argnums=(1,))
+                def step(c, acc):
+                    def local(cc, tt, ff):
+                        tt = tuple(t[0] for t in tt)
+                        cc = cc[0]
+                        f = ff[0]
+                        idx, _f1 = sketch_scan(cc, KS, stride, S_BITS, R_BITS, None)
+                        new_ts = []
+                        for i, k in enumerate(KS):
+                            vals, cnt = compact_pallas(idx[k].reshape(-1), sent, cap)
+                            new_ts.append(tt[i].at[vals].add(1, mode="drop")[None])
+                            f = f + cnt.astype(jnp.uint32)
+                        return tuple(new_ts), f[None]
+
+                    ts, f = acc
+                    ts, f = jax.shard_map(
+                        local, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+                        out_specs=(P("data"), P("data")), check_vma=False,
+                    )(c, ts, f)
+                    return ts, f
+
+                def acc_factory():
+                    return (
+                        tuple(jnp.zeros((1, T), jnp.int32) for _ in KS),
+                        jnp.zeros((1,), jnp.uint32),
+                    )
+
+                dt = chained(step, batches, acc_factory)
 
     elif phase in ("cs", "csnof1"):
         # hash + per-k compact + per-k scatter into donated separate tables,

@@ -476,10 +476,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         for batch in device_prefetch(
             superbatch(batches, n_super, axis=1 if sharded else 0),
             stage_times=stages if metrics.enabled else None,
+            # chains engine: each shard rides one put straight to its device
+            put_fn=getattr(sketch, "put_shards", None) if sharded else None,
         ):
             with metrics.phase("pipeline.dispatch"):
                 if sharded:
-                    wire0 = batch[0] if batch.ndim == 3 else batch[0, 0]
+                    w0 = batch[0]  # array [D, ...] and per-device list alike
+                    wire0 = w0 if w0.ndim == 2 else w0[0]
                     sketch.update_shards(
                         batch, packed=wire_mode_of(wire0, rows_ps, halo)
                     )

@@ -388,18 +388,27 @@ class PerDeviceCountTableSketch:
         self.update_shards(codes.reshape(d, codes.shape[0] // d, codes.shape[1]), packed)
 
     def update_shards(self, shards, packed=False) -> None:
-        """shards: [n_dev, rows, width] (or [n_dev, n, rows, width] stacks)
-        — shard d dispatches to device d; the per-device programs run
-        concurrently (independent donation chains)."""
+        """shards: [n_dev, rows, width] (or [n_dev, n, rows, width] stacks),
+        or a list of n_dev per-shard arrays already placed on their devices
+        (pipeline.device_prefetch's chains put) — shard d dispatches to
+        device d; the per-device programs run concurrently (independent
+        donation chains)."""
         for i, (s, dev) in enumerate(zip(shards, self.devices)):
             with jax.default_device(dev):
                 self._sketches[i].update(jax.device_put(s, dev), packed=packed)
+
+    def put_shards(self, shards):
+        """Host-side [n_dev, ...] stack -> list of per-device arrays (for
+        the pipeline's transfer thread, so each shard rides one put straight
+        to its device instead of bouncing through the default device)."""
+        return [jax.device_put(shards[i], d) for i, d in enumerate(self.devices)]
 
     def _merged(self):
         """Fold every device's sketch into device 0's (tables ride one
         device-to-device transfer each — ICI on real multi-chip)."""
         head = self._sketches[0]
-        for other in self._sketches[1:]:
+        head._flush_replays()  # merge_ flushes both sides, but n_dev==1
+        for other in self._sketches[1:]:  # must settle head too
             other._flush_replays()
             other.tables = tuple(
                 jax.device_put(t, self.devices[0]) for t in other.tables

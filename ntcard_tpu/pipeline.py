@@ -378,6 +378,7 @@ def device_prefetch(
     depth: int = 3,
     pack: bool = False,
     stage_times: Optional[dict] = None,
+    put_fn=None,
 ) -> Iterator:
     """Two-stage threaded host->device feed: a decode thread runs the
     upstream batch generator, a separate transfer thread issues the explicit
@@ -421,18 +422,20 @@ def device_prefetch(
             yield p
             t_last = _time.perf_counter()
 
+    put = put_fn or jax.device_put  # e.g. PerDeviceCountTableSketch.put_shards
+
     def put_stage(it):
         # runs in prefetch thread 2: the CPU-heavy transfer encode
         if stage_times is None:
             for p in it:
-                yield jax.device_put(p)
+                yield put(p)
             return
         import time as _time
 
         st = stage_times
         for p in it:
             t0 = _time.perf_counter()
-            d = jax.device_put(p)
+            d = put(p)
             st["h2d"] = st.get("h2d", 0.0) + (_time.perf_counter() - t0)
             yield d
 

@@ -156,3 +156,24 @@ def test_sharded_hll_wire_bitexact(records):
         shards = pack_shard_wires(b, sh.n_dev, "quad2", STRIDE)
         sh.update_shards(shards, packed=wire_mode_of(shards[0], rows_ps, halo))
     np.testing.assert_array_equal(sh.registers(), ref.registers())
+
+
+def test_cli_chains_engine_golden(tmp_path):
+    """Full ntcard CLI over the 8-device CPU mesh with the chains engine
+    forced (NTCARD_SHARDED=chains) — byte-identical to the golden."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, NTCARD_SHARDED="chains")
+    r = subprocess.run(
+        [sys.executable, "-m", "ntcard_tpu.cli", "-k12", "-c1000", "-r16",
+         "-p", str(tmp_path / "c"), str(root / "tests/data/reads.fq")],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    got = (tmp_path / "c_k12.hist").read_bytes()
+    want = (root / "tests/golden/reads_k12.hist.good").read_bytes()
+    assert got == want

@@ -702,10 +702,19 @@ class CountTableSketch:
         bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
-        self._flush_replays()
-        f1s = self._f1_totals()
         nbins = min(cov_max + 1, 65536)
+        # optimistic ordering: dispatch + fetch the histograms BEFORE
+        # settling overflow flags — the hist program chains after the
+        # in-flight updates on device, so its fetch absorbs the drain wait
+        # AND the subsequent flush fetch returns instantly (two sequential
+        # ~0.5-1 s tunnel waits become one). A flush that actually replays
+        # (rare) invalidates the optimistic hists; recompute then.
+        pre_replays = self.replays
         hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
+        self._flush_replays()
+        if self.replays != pre_replays:
+            hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
+        f1s = self._f1_totals()
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}

@@ -157,8 +157,9 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         [str(ref_exe)] + flags + outargs("ref") + file_args,
         capture_output=True, text=True, timeout=300,
     )
-    # rotate engines: single-device (quad wire), 8-virtual-device (sharded,
-    # nibble wire), and the native host engine (seed % 3 == 0)
+    # rotate engines: single-device, 8-virtual-device (sharded: per-shard
+    # quad-family wires, shard_map or chains engine), the native host
+    # engine (seed % 3 == 0), and hybrid
     ndev = 1 if seed % 2 else 8
     env = dict(
         os.environ,
@@ -172,7 +173,9 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
     if seed % 5 == 0:
         env["NTCARD_WIRE"] = "quad2"  # owned-span wire (no-op for sharded/host)
     if seed % 7 < 2:
-        env["NTCARD_SUPERBATCH"] = "3"  # scanned stack dispatch (no-op sharded)
+        env["NTCARD_SUPERBATCH"] = "3"  # scanned stack dispatch
+    if seed % 11 < 5:
+        env["NTCARD_SHARDED"] = "chains"  # per-device engine (no-op at ndev=1)
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,
@@ -227,6 +230,8 @@ def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
         env["NTCARD_ENGINE"] = "hybrid"
     if seed % 5 == 0:
         env["NTCARD_WIRE"] = "quad2"
+    if seed % 11 < 5:
+        env["NTCARD_SHARDED"] = "chains"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli_hll"] + flags + [str(inp)],
         capture_output=True, text=True, timeout=600, env=env,

@@ -217,6 +217,8 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
             best, phases = t, ph
         if time.perf_counter() - t_start > 120:
             break
+    if not hybrid:
+        best_dev = min(best_dev, best)  # every pass was device-only
     phases["device_only_reads_per_sec"] = round(N_READS / best_dev, 1)
     phases["engine"] = "hybrid" if hybrid else "device"
     # the host engine alone (NTCARD_ENGINE=host — a product configuration)
@@ -369,7 +371,8 @@ def measure_r27_default(fq: Path, deadline_left: float) -> dict:
     out: dict = {}
     if deadline_left < 200:
         return out
-    ref_cache = WORK / "ref_r27_wall.json"
+    # cache keyed like measure_reference's: input size + thread count
+    ref_cache = WORK / f"ref_r27_wall_{N_READS}_t{os.cpu_count() or 1}.json"
     exe = WORK / "ntcard_ref"
     try:
         if ref_cache.exists():
@@ -405,7 +408,14 @@ def measure_r27_default(fq: Path, deadline_left: float) -> dict:
             best = dt if best is None else min(best, dt)
             if time.perf_counter() - t0 > 60:  # cold compile pass: stop here
                 break
-        out["r27_default_device_wall_sec"] = round(best, 3)
+        # a >60 s best means the compile cache was cold (or the tunnel had a
+        # storm); label it so it is never mistaken for the warm wall
+        key = (
+            "r27_default_device_wall_sec"
+            if best <= 60
+            else "r27_default_device_wall_cold_sec"
+        )
+        out[key] = round(best, 3)
     except (subprocess.SubprocessError, OSError):
         pass
     return out

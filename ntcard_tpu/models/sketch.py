@@ -453,6 +453,57 @@ def _counter_hists(tables, r_buck, nbins: int = 65536):
     return out[:, :, :nbins].astype(np.int32)
 
 
+class DeferredReplayMixin:
+    """The pending/reap side of the deferred-overflow-replay contract
+    (_table_add docstring), shared by the single-device and sharded
+    sketches: per-batch overflow flags plus a running count ride the device;
+    the host checks the count once per NTCARD_REPLAY_LAG batches — reading
+    the MIDDLE pending entry's count mid-stream (computed half a window ago:
+    latency-only, never syncing in-flight work; flush reads the newest) —
+    and drops the covered window without per-batch fetches when it is
+    unchanged (the always case). A changed count fans out to the subclass's
+    ``_replay_flagged``. Tracking engages only when overflow is possible at
+    all (big-table sparse path): the r_bits <= 16 hist path and the plain
+    XLA scatter are exact by construction, and retaining wires / fetching
+    counts there would cost HBM and ~90 ms tunnel RPCs for nothing."""
+
+    def _init_replay(self) -> None:
+        self._pending: list = []
+        self._ocount = jnp.zeros((), jnp.uint32)
+        self._reaped = 0
+        self._replay_lag = int(os.environ.get("NTCARD_REPLAY_LAG", "32"))
+        self.replays = 0  # overflowed (batch, k) replays issued (stats/tests)
+        self._can_overflow = _sparse_mode() != "off" and self.r_bits > 16
+
+    def _track_replay(self, flags, wire, packed) -> None:
+        if not self._can_overflow:
+            return
+        self._pending.append((flags, self._ocount, wire, packed))
+        if len(self._pending) >= self._replay_lag:
+            self._reap_window()
+
+    def _reap_window(self, flush: bool = False) -> None:
+        if not self._pending:
+            return
+        m = len(self._pending) - 1
+        if not flush:
+            m = min(self._replay_lag // 2, m)
+        count = int(np.asarray(self._pending[m][1]))
+        window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
+        if count == self._reaped:
+            return
+        self._reaped = count
+        for flags, _oc, wire, packed in window:
+            f = np.asarray(flags)
+            if f.any():
+                self._replay_flagged(f, flags, wire, packed)
+
+    def _flush_replays(self) -> None:
+        """Settle every pending overflow flag (finalize/save/merge must see
+        fully-applied tables)."""
+        self._reap_window(flush=True)
+
+
 class ChainedCountTableSketch:
     """N independent CountTableSketch donation chains fed round-robin, merged
     at finalize. On the tunneled TPU runtime, consecutive updates of ONE
@@ -502,7 +553,7 @@ class ChainedCountTableSketch:
         return self.merged().finalize(return_table=return_table, cov_max=cov_max)
 
 
-class CountTableSketch:
+class CountTableSketch(DeferredReplayMixin):
     """Streaming ntcard sketch over one device.
 
     feed [B, L] uint8 batches via :meth:`update`; :meth:`finalize` returns
@@ -535,17 +586,7 @@ class CountTableSketch:
         self.tables = _make_tables(nk, 2 * self.r_buck + 1)
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
-        # deferred overflow replay (see _table_add): recent (flags, wire,
-        # packed) ride a pending list; a device-side running overflow COUNT
-        # is checked once per NTCARD_REPLAY_LAG batches (one ~90 ms tunnel
-        # RPC) — when unchanged (the always case) the whole pending window
-        # is dropped without ever fetching per-batch flags, and only a real
-        # overflow pays the per-batch fetches + replays
-        self._pending: list = []
-        self._ocount = jnp.zeros((), jnp.uint32)
-        self._reaped = 0  # host copy of the last fetched overflow count
-        self._replay_lag = int(os.environ.get("NTCARD_REPLAY_LAG", "32"))
-        self.replays = 0  # overflowed (batch, k) replays issued (stats/tests)
+        self._init_replay()  # deferred overflow replay (DeferredReplayMixin)
 
     def _f1_totals(self):
         """Exact per-k F1 as Python ints (single device->host transfer)."""
@@ -572,57 +613,30 @@ class CountTableSketch:
             self.gap_positions,
             packed,
         )
-        self._pending.append((flags, self._ocount, codes, packed))
-        if len(self._pending) >= self._replay_lag:
-            self._reap_window()
+        self._track_replay(flags, codes, packed)
 
-    def _reap_window(self, flush: bool = False) -> None:
-        """Settle (a prefix of) the pending window with ONE fetch of a
-        running-overflow-count: unchanged (the always case) drops the
-        covered entries without per-batch fetches, otherwise their flags
-        are fetched and the flagged (batch, k)s replayed. Mid-stream the
-        MIDDLE entry's count is read — computed half a window ago, so the
-        fetch costs tunnel latency only and never syncs in-flight work;
-        flush reads the newest."""
-        if not self._pending:
-            return
-        m = len(self._pending) - 1
-        if not flush:
-            m = min(self._replay_lag // 2, m)
-        count = int(np.asarray(self._pending[m][1]))
-        window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
-        if count == self._reaped:
-            return
-        self._reaped = count
-        for flags, _oc, codes, packed in window:
-            f = np.asarray(flags)  # [nK] or [n, nK] (superbatch stack)
-            if not f.any():
-                continue
-            if f.ndim == 1:
-                f = f[None]
-                stack = [codes]
-            else:
-                stack = [codes[j] for j in range(f.shape[0])]
-            for j in range(f.shape[0]):
-                for i in range(len(self.ks)):
-                    if f[j, i]:
-                        self.replays += 1
-                        self.tables = _replay_update(
-                            self.tables,
-                            stack[j],
-                            i,
-                            self.ks,
-                            self.stride,
-                            self.s_bits,
-                            self.r_bits,
-                            self.gap_positions,
-                            packed,
-                        )
-
-    def _flush_replays(self) -> None:
-        """Settle every pending overflow flag (finalize/save/merge must see
-        fully-applied tables)."""
-        self._reap_window(flush=True)
+    def _replay_flagged(self, f, _flags_dev, codes, packed) -> None:
+        """f: [nK] or [n, nK] (superbatch stack) numpy overflow flags."""
+        if f.ndim == 1:
+            f = f[None]
+            stack = [codes]
+        else:
+            stack = [codes[j] for j in range(f.shape[0])]
+        for j in range(f.shape[0]):
+            for i in range(len(self.ks)):
+                if f[j, i]:
+                    self.replays += 1
+                    self.tables = _replay_update(
+                        self.tables,
+                        stack[j],
+                        i,
+                        self.ks,
+                        self.stride,
+                        self.s_bits,
+                        self.r_bits,
+                        self.gap_positions,
+                        packed,
+                    )
 
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can

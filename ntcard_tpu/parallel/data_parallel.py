@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ntcard_tpu.models.sketch import DeferredReplayMixin
 from ntcard_tpu.ops.nthash import hll_scan
 
 
@@ -144,7 +145,7 @@ def _shard_merge(tables):
     return tuple(t.sum(axis=0) for t in tables)
 
 
-class ShardedCountTableSketch:
+class ShardedCountTableSketch(DeferredReplayMixin):
     """Drop-in for models.sketch.CountTableSketch over an N-device mesh."""
 
     def __init__(
@@ -182,14 +183,7 @@ class ShardedCountTableSketch:
         )
         self.f1s = jax.device_put(jnp.zeros((self.n_dev, nk, 2), jnp.uint32), shard)
         self._row_sharding = shard
-        # deferred overflow replay — same contract as CountTableSketch
-        # (models/sketch.py): pending (flags, ocount, wire, packed) windows
-        # settled by one running-count fetch per NTCARD_REPLAY_LAG batches
-        self._pending: list = []
-        self._ocount = jnp.zeros((), jnp.uint32)
-        self._reaped = 0
-        self._replay_lag = int(__import__("os").environ.get("NTCARD_REPLAY_LAG", "32"))
-        self.replays = 0
+        self._init_replay()  # deferred overflow replay (DeferredReplayMixin)
 
     def _f1_totals(self):
         """Exact per-k F1 summed over shards (one device->host transfer)."""
@@ -224,54 +218,33 @@ class ShardedCountTableSketch:
             self.gap_positions,
             packed,
         )
-        self._pending.append((flags, self._ocount, shards, packed))
-        if len(self._pending) >= self._replay_lag:
-            self._reap_window()
+        self._track_replay(flags, shards, packed)
 
-    def _reap_window(self, flush: bool = False) -> None:
-        """Same scheme as CountTableSketch._reap_window: one running-count
-        fetch settles a window of pending batches; a changed count (rare)
-        fetches the window's per-(shard, k) flags and replays them through
-        the masked sharded full-scatter program."""
-        if not self._pending:
-            return
-        m = len(self._pending) - 1
-        if not flush:
-            m = min(self._replay_lag // 2, m)
-        count = int(np.asarray(self._pending[m][1]))
-        window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
-        if count == self._reaped:
-            return
-        self._reaped = count
-        for flags, _oc, shards, packed in window:
-            f = np.asarray(flags)  # [D, nK] or [D, n, nK]
-            if not f.any():
-                continue
-            if f.ndim == 2:
-                subs = [(flags, shards)]
-            else:
-                subs = [
-                    (flags[:, j], shards[:, j])
-                    for j in range(f.shape[1])
-                    if f[:, j].any()
-                ]
-            for fl, wire in subs:
-                self.replays += 1
-                self.tables = _replay_sharded(
-                    self.tables,
-                    jax.device_put(wire, self._row_sharding),
-                    jax.device_put(fl, self._row_sharding),
-                    self.mesh,
-                    self.ks,
-                    self.stride,
-                    self.s_bits,
-                    self.r_bits,
-                    self.gap_positions,
-                    packed,
-                )
-
-    def _flush_replays(self) -> None:
-        self._reap_window(flush=True)
+    def _replay_flagged(self, f, flags, shards, packed) -> None:
+        """f: [D, nK] or [D, n, nK] numpy overflow flags; replays through
+        the masked sharded full-scatter program (_replay_sharded)."""
+        if f.ndim == 2:
+            subs = [(flags, shards)]
+        else:
+            subs = [
+                (flags[:, j], shards[:, j])
+                for j in range(f.shape[1])
+                if f[:, j].any()
+            ]
+        for fl, wire in subs:
+            self.replays += 1
+            self.tables = _replay_sharded(
+                self.tables,
+                jax.device_put(wire, self._row_sharding),
+                jax.device_put(fl, self._row_sharding),
+                self.mesh,
+                self.ks,
+                self.stride,
+                self.s_bits,
+                self.r_bits,
+                self.gap_positions,
+                packed,
+            )
 
     def _merged_tables(self):
         self._flush_replays()

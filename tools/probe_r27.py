@@ -119,12 +119,15 @@ def main() -> int:
             return (
                 tuple(jnp.zeros((T,), jnp.int32) for _ in KS),
                 jnp.zeros((len(KS), 2), jnp.uint32),
+                jnp.zeros((), jnp.uint32),
             )
 
         def step(c, acc):
-            t, f = acc
-            t, f, _flags = S._update(t, f, c, KS, stride, S_BITS, R_BITS, None, False)
-            return t, f
+            t, f, oc = acc
+            t, f, _flags, oc = S._update(
+                t, f, oc, c, KS, stride, S_BITS, R_BITS, None, False
+            )
+            return t, f, oc
 
         dt = chained(step, batches, acc_factory)
 

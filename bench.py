@@ -395,7 +395,9 @@ def measure_r27_default(fq: Path, deadline_left: float) -> dict:
     try:
         env = dict(os.environ, NTCARD_ENGINE="device")
         best = None
-        for _ in range(2):
+        t_all = time.perf_counter()
+        # best-of-4 bounded: the tunnel's wall swings ~5-13 s pass to pass
+        for _ in range(4):
             t0 = time.perf_counter()
             r = subprocess.run(
                 [sys.executable, "-m", "ntcard_tpu.cli", "-k64,96,128",
@@ -406,8 +408,8 @@ def measure_r27_default(fq: Path, deadline_left: float) -> dict:
                 return out
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if time.perf_counter() - t0 > 60:  # cold compile pass: stop here
-                break
+            if dt > 60 or time.perf_counter() - t_all > 90:
+                break  # compile-cold pass or budget spent
         # a >60 s best means the compile cache was cold (or the tunnel had a
         # storm); label it so it is never mistaken for the warm wall
         key = (
@@ -431,10 +433,13 @@ def main() -> int:
         ours_rps, phases = measure_host_fallback(fq)
         phases["platform"] = "host-engine (forced via NTCARD_ENGINE)"
     elif _device_alive():
+        # r27 head-to-head FIRST: it runs as subprocesses, and a parent
+        # process holding a live tunnel session contends with them
+        # (measured ~+2 s on the device wall); measure_ours only imports
+        # jax afterwards
+        r27 = measure_r27_default(fq, deadline - (time.perf_counter() - t_main))
         ours_rps, phases = measure_ours(fq)
-        phases.update(
-            measure_r27_default(fq, deadline - (time.perf_counter() - t_main))
-        )
+        phases.update(r27)
     else:
         ours_rps, phases = measure_host_fallback(fq)
     vs = (ours_rps / ref_rps) if ref_rps > 0 else 0.0

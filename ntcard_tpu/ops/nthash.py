@@ -281,6 +281,9 @@ def window_hashes(
                 rh_lo = rh_lo ^ u64.lut5(cp, rt[:, 1])
 
         valid = (ncnt[end] - ncnt_p) == 0
+        if with_strand == "forward":
+            out[k] = (fh_hi, fh_lo, valid)
+            continue
         ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
         if with_strand:
             out[k] = (ch, cl, valid, u64.lt(rh_hi, rh_lo, fh_hi, fh_lo))
@@ -378,6 +381,9 @@ def window_hashes_doubling(
                 rh_hi = rh_hi ^ u64.lut5(cp, rt[:, 0])
                 rh_lo = rh_lo ^ u64.lut5(cp, rt[:, 1])
 
+        if with_strand == "forward":
+            out[k] = (fh_hi, fh_lo, valid)
+            continue
         ch, cl = u64.min64(fh_hi, fh_lo, rh_hi, rh_lo)
         if with_strand:
             out[k] = (ch, cl, valid, u64.lt(rh_hi, rh_lo, fh_hi, fh_lo))
@@ -389,6 +395,18 @@ def window_hashes_doubling(
 # ---------------------------------------------------------------------------
 # Public kernels (API shared with ops/nthash_scan.py)
 # ---------------------------------------------------------------------------
+
+
+def spaced_hashes_forward(
+    codes: jnp.ndarray, k: int, stride: int, mask_positions: Sequence[int] | None = None
+):
+    """Forward-strand (non-canonical) spaced-seed hashes — NTS64 /
+    ssHashIterator parity (nthash.hpp:550-572, ssHashIterator.hpp:18-122):
+    sVal = fhVal with every don't-care position p's seed contribution
+    P^(k-1-p)(seed(b_{i+p})) stripped. Returns (hi, lo, valid), each
+    [B, stride]."""
+    h = _hash_backend()(codes, (k,), stride, mask_positions, with_strand="forward")[k]
+    return h[0].T, h[1].T, h[2].T
 
 
 def canonical_hashes(

@@ -67,6 +67,16 @@ def ntc64(codes: Sequence[int], k: int) -> int:
     return min(ntf64(codes, k), ntr64(codes, k))
 
 
+def nts64(codes: Sequence[int], k: int, mask_positions: Sequence[int]) -> int:
+    """Forward-strand spaced-seed hash — NTS64 (nthash.hpp:550-561): the
+    forward base hash with each don't-care position p's rotated seed
+    contribution stripped."""
+    h = ntf64(codes, k)
+    for p in mask_positions:
+        h ^= rot_seed(codes[p], k - 1 - p)
+    return h
+
+
 def ntmc64_strand(codes: Sequence[int], k: int) -> Tuple[int, bool]:
     """Strand-aware canonical hash — NTMC64-with-hStn (nthash.hpp:495-521):
     (canonical hash, hStn) with hStn = rhVal < fhVal (ties are forward)."""

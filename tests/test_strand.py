@@ -46,3 +46,31 @@ def test_strand_tie_is_forward():
     h, stn = R.ntmc64_strand(codes, 4)
     assert R.ntf64(codes, 4) == R.ntr64(codes, 4)
     assert stn is False and h == R.ntf64(codes, 4)
+
+
+@pytest.mark.parametrize("backend", ["doubling", "prefix"])
+def test_nts64_forward_spaced_matches_oracle(backend, monkeypatch):
+    """spaced_hashes_forward — NTS64 / ssHashIterator parity
+    (nthash.hpp:550-572): forward-strand spaced hashes vs the scalar
+    oracle over every valid window."""
+    from ntcard_tpu.ops.nthash import spaced_hashes_forward
+
+    monkeypatch.setenv("NTCARD_KERNEL", backend)
+    k, gap = 13, (4, 5, 6)
+    records = random_records(seed=41, n=50, maxlen=220)
+    want = []
+    for rec in records:
+        codes = R.seq_to_codes(rec)
+        for pos in range(max(0, len(codes) - k + 1)):
+            win = codes[pos : pos + k]
+            if any(c == R.N for c in win):
+                continue
+            want.append(R.nts64(win, k, gap))
+    stride = aligned_stride(CHUNK, k)
+    got = []
+    for b in pack_records(records, CHUNK, 128, k):
+        hi, lo, valid = spaced_hashes_forward(b, k, stride, gap)
+        hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+        for r, c in zip(*np.nonzero(valid)):
+            got.append((int(hi[r, c]) << 32) | int(lo[r, c]))
+    assert sorted(got) == sorted(want)

@@ -524,6 +524,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     metrics.add("reads", stats.get("records", 0))
     metrics.add("bases", stats.get("bases", 0))
+    # compaction-overflow replays (repeat-heavy content; models/sketch.py
+    # deferred-replay contract) — nonzero is normal on genomes with long
+    # low-complexity runs, and worth seeing in perf investigations
+    metrics.add("overflow_replays", getattr(sketch, "replays", 0))
     metrics.report()
     sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
     return 0

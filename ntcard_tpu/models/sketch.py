@@ -530,6 +530,10 @@ class ChainedCountTableSketch:
         self.ks, self.s_bits, self.r_bits = s0.ks, s0.s_bits, s0.r_bits
         self.stride, self.gap_positions, self.r_buck = s0.stride, s0.gap_positions, s0.r_buck
 
+    @property
+    def replays(self) -> int:
+        return sum(c.replays for c in self._chains)
+
     def update(self, codes, packed: bool = False) -> None:
         self._chains[self._i].update(codes, packed=packed)
         self._i = (self._i + 1) % len(self._chains)

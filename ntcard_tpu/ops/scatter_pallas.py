@@ -287,12 +287,14 @@ def _compact_kernel(
 
 
 def compact_packed2_default() -> bool:
-    """NTCARD_COMPACT=packed2 splits the value across two independent
-    pos-keyed reductions (no serial chain per element); the default is the
-    reduce-then-fetch extraction until the A/B lands on the real chip."""
+    """packed2 splits the value across two independent pos-keyed reductions
+    (no serial chain per element) and is the default — measured on the real
+    chip (r27 3-k hash+compact): 39.2 vs 50.2 ms/batch for the
+    reduce-then-fetch extraction, reproducibly. NTCARD_COMPACT=full
+    restores the old extractor (A/B knob)."""
     import os
 
-    return os.environ.get("NTCARD_COMPACT") == "packed2"
+    return os.environ.get("NTCARD_COMPACT", "packed2") != "full"
 
 
 @functools.partial(

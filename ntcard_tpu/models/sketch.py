@@ -356,12 +356,12 @@ def _hist_row_device_sparse(row, nbins, interp):
     callers inside shard_map (parallel/multihost.py) where the host cannot
     branch; host-driven finalize uses the parts directly."""
     h, cnt = _hist_row_sparse_parts(row, nbins, interp)
-
-    def fallback(vv):
-        clamped = jnp.minimum(vv & 0xFFFF, np.int32(nbins))  # nbins = discard
-        return jnp.zeros((nbins + 1,), jnp.int32).at[clamped].add(1)[:nbins]
-
-    return jax.lax.cond(cnt <= np.int32(_HIST_CAP), lambda _: h, fallback, row)
+    return jax.lax.cond(
+        cnt <= np.int32(_HIST_CAP),
+        lambda _: h,
+        lambda vv: _hist_row_fallback(vv, nbins),
+        row,
+    )
 
 
 @partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))

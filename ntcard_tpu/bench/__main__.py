@@ -35,6 +35,7 @@ def _bench_top():
 
 def _chained(stepfn, batches, acc0):
     """Trustworthy device timing: chained dependency + host drain."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     acc = stepfn(batches[0], acc0)
@@ -48,7 +49,9 @@ def _chained(stepfn, batches, acc0):
 
 
 def bench_kernel():
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.models.sketch import _table_add
@@ -83,7 +86,9 @@ def bench_kernel():
 
 
 def bench_multik():
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.ops.nthash import sketch_scan
@@ -110,6 +115,7 @@ def bench_multik():
 def bench_uniformity():
     """Chi-square of canonical-hash bucket occupancy — the role of nttest's
     Bloom-filter FPR uniformity sweep, directly on the hash values."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.ops.nthash import canonical_hashes
@@ -147,6 +153,7 @@ def bench_bloom():
     (nttest.cpp:443-494 + lib/BloomFilter.hpp insert/contains): insert the
     k-mers of a random sequence with h derived hashes, query disjoint
     absent k-mers, report measured vs theoretical false-positive rate."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.models.bloom import BloomFilter

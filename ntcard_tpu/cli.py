@@ -306,6 +306,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if _use_host_engine(opt, total_size):
         return _main_host(opt, in_files, s_time)
 
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     from ntcard_tpu.models.estimate import comp_est_hist

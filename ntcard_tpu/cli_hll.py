@@ -39,7 +39,7 @@ def _main_host(args: List[str], km_len: int, n_bits: int, n_thrd: int = 1) -> in
     the nthll reader contract, nthll.cpp:70-90, 225-235)."""
     from ntcard_tpu.io.packing import aligned_stride
     from ntcard_tpu.io.readers import expand_file_args
-    from ntcard_tpu.models.hll import estimate_f0
+    from ntcard_tpu.models.estimate import estimate_f0
     from ntcard_tpu.models.host_engine import HostHllSketch
     from ntcard_tpu.pipeline import default_geometry, parallel_batches_from_files, prefetch
 
@@ -125,6 +125,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if use_host:
         return _main_host(args, km_len, n_bits, n_thrd)
 
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     from ntcard_tpu.io.decompress import input_size

@@ -16,6 +16,7 @@ Byte-per-bit spends 8x the reference's memory for the same m; callers size
 
 from __future__ import annotations
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax.numpy as jnp
 import numpy as np
 

@@ -88,3 +88,20 @@ def comp_est_hist(
         # C++ abs(INT64_MIN) stays INT64_MIN (the reference's overflow path)
         f[i] = v if v == -(2**63) else abs(v)
     return int(f0), f
+
+
+def estimate_f0(regs: np.ndarray, canon: bool = True) -> int:
+    """HLL harmonic-mean estimate, nthll.cpp:247-260 bit-for-bit:
+    left-to-right float64 harmonic sum, alpha halved for canonical hashing,
+    final (unsigned long long) cast. Lives here (jax-free) so the
+    host-engine nthll path never imports jax."""
+    n_buck = regs.shape[0]
+    alpha = 1.4426 / (1 + 1.079 / n_buck)
+    if canon:
+        alpha /= 2
+    p_est = 0.0
+    for v in regs:
+        p_est += 1.0 / float(1 << int(v))
+    z_est = 1.0 / p_est
+    e_est = alpha * n_buck * n_buck * z_est
+    return int(e_est)

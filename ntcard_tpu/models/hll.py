@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,16 +50,6 @@ class HllSketch:
         return np.asarray(self.regs).astype(np.uint8)
 
 
-def estimate_f0(regs: np.ndarray, canon: bool = True) -> int:
-    """nthll.cpp:247-260 bit-for-bit: left-to-right float64 harmonic sum,
-    alpha halved for canonical hashing, final (unsigned long long) cast."""
-    n_buck = regs.shape[0]
-    alpha = 1.4426 / (1 + 1.079 / n_buck)
-    if canon:
-        alpha /= 2
-    p_est = 0.0
-    for v in regs:
-        p_est += 1.0 / float(1 << int(v))
-    z_est = 1.0 / p_est
-    e_est = alpha * n_buck * n_buck * z_est
-    return int(e_est)
+# estimate_f0 lives in models/estimate.py (jax-free) so the host-engine
+# nthll path never imports jax; re-exported here for compatibility.
+from ntcard_tpu.models.estimate import estimate_f0  # noqa: F401,E402

@@ -22,6 +22,7 @@ import os
 from functools import partial
 from typing import Dict, Sequence
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np

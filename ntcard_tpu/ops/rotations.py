@@ -19,6 +19,7 @@ constant shifts into variable ones).
 
 from __future__ import annotations
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np

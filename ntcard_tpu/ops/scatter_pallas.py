@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
 import jax.numpy as jnp
 import numpy as np

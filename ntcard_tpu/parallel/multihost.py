@@ -33,6 +33,7 @@ def initialize_distributed(
 ) -> Tuple[int, int]:
     """Initialize jax.distributed (no-op for single-process). Returns
     (process_id, num_processes)."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     coordinator = coordinator or os.environ.get("NTCARD_COORDINATOR")
@@ -69,6 +70,7 @@ def host_file_assignment(
 
 def global_data_mesh():
     """1-D 'data' mesh over every chip of every host."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -84,7 +86,9 @@ def _finalize_reduce_scatter(sketch, nbins: int):
     gathering histograms alone would be wrong), histogram the owned bucket
     shard on device, and psum the KB-scale histograms. Nothing GiB-scale
     ever lands on a host or is replicated. Returns [nK, 2, nbins] int32."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
     import numpy as np
     from functools import partial
@@ -161,6 +165,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
 
     ``sketch`` is a models.sketch.CountTableSketch (per-host private state);
     single-process calls fall through to its own finalize()."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     if jax.process_count() == 1:
@@ -182,6 +187,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
     if not use_host:
         hists = _finalize_reduce_scatter(sketch, nbins)
     else:
+        from ntcard_tpu import _jax_config  # noqa: F401
         import jax.numpy as jnp
 
         from ntcard_tpu.models.sketch import _counter_hists
@@ -205,6 +211,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
 def merged_hll_registers(sketch) -> "np.ndarray":
     """Cross-host HLL merge: elementwise max over every process's registers
     (the pmax lift of nthll's critical-section merge, nthll.cpp:238-244)."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
     import numpy as np
 

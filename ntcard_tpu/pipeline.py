@@ -398,6 +398,7 @@ def device_prefetch(
     (io.packing.pack_rows) in the decode thread — consumers must then call
     update(batch, packed=True); halving the wire halves the put cost. On
     CPU backends the whole thing is a cheap pass-through."""
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
     from ntcard_tpu.io.packing import pack_rows

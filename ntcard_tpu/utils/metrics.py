@@ -44,6 +44,7 @@ class Metrics:
 
     def start_profile(self) -> None:
         if self._profile_dir and not self._profiling:
+            from ntcard_tpu import _jax_config  # noqa: F401
             import jax
 
             jax.profiler.start_trace(self._profile_dir)
@@ -51,6 +52,7 @@ class Metrics:
 
     def stop_profile(self) -> None:
         if self._profiling:
+            from ntcard_tpu import _jax_config  # noqa: F401
             import jax
 
             jax.profiler.stop_trace()

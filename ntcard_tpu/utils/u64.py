@@ -18,6 +18,7 @@ vector unit: minutes of compile, ~100x slower code).
 
 from __future__ import annotations
 
+from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax.numpy as jnp
 import numpy as np
 

@@ -43,6 +43,7 @@ def main() -> int:
         os.environ["NTCARD_SCATTER"] = "pallas-noguard"
 
     import ntcard_tpu  # noqa: F401  (platform + persistent compile cache)
+    from ntcard_tpu import _jax_config  # noqa: F401
     import jax
     import jax.numpy as jnp
 

@@ -288,6 +288,178 @@ def _main_host(opt, in_files, s_time) -> int:
     return 0
 
 
+def _fast_device_ok(opt) -> bool:
+    """Eligibility for the startup-overlapped single-device path
+    (_main_device_fast): single host, one (or auto-detect) device, plain
+    wire engines. CPU platforms keep the legacy path (the overlap only
+    buys anything when a device bootstrap costs seconds; tests opt in via
+    NTCARD_EAGER=1 to exercise the fast machinery on the CPU mesh)."""
+    import os
+
+    if opt.coordinator or opt.num_hosts or opt.host_id >= 0:
+        return False
+    if os.environ.get("NTCARD_COORDINATOR") or os.environ.get("NTCARD_NUM_PROCESSES"):
+        return False
+    if opt.devices > 1:
+        return False
+    if os.environ.get("NTCARD_ENGINE") == "hybrid":
+        return False  # hybrid work-stealing lives in the legacy path
+    eager = os.environ.get("NTCARD_EAGER")
+    if eager == "0":
+        return False
+    plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
+    return eager == "1" or plat not in ("", "cpu")
+
+
+def _main_device_fast(opt, in_files, total_size, s_time) -> int:
+    """Single-device path with the startup serial chain overlapped.
+
+    A cold device CLI pays, in sequence: the jax import (~2.8 s of pure
+    Python), the backend handshake, the table-allocation executable load,
+    the update-program load and the finalize-program load (~0.7-1.3 s each
+    on the tunneled runtime, but loads PARALLELIZE — measured,
+    docs/TPU_BACKEND_NOTES.md round-4). Here all of that runs on a boot
+    thread (+ warm threads, models/sketch.warm) while the native decode
+    threads fill the eager feed (pipeline.EagerPrefetch), so the dispatch
+    loop starts against loaded programs with device-resident batches.
+    Bit-exact with the legacy path: same generators, same programs, same
+    fold order."""
+    import os as _os
+    import threading
+
+    from ntcard_tpu.io.packing import (
+        aligned_stride,
+        quad2_ok,
+        quad_ok,
+        wire_mode_of,
+    )
+    from ntcard_tpu.models.estimate import comp_est_hist
+    from ntcard_tpu.output import write_compact, write_default
+    from ntcard_tpu.pipeline import (
+        default_geometry,
+        device_prefetch,
+        parallel_batches_from_files,
+        superbatch,
+    )
+    from ntcard_tpu.utils.metrics import Metrics
+
+    ks = opt.k_list
+    kmax = max(ks)
+    chunk_len, _ = default_geometry(kmax)
+    if opt.chunk_len:
+        chunk_len = opt.chunk_len
+    batch_rows = opt.batch_rows
+    stride = aligned_stride(chunk_len, kmax)
+    gap_positions = _gap_positions(opt)
+    wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
+    if wire_env == "quad2" and quad2_ok(batch_rows, stride):
+        wire_fmt = "quad2"
+    elif wire_env in ("quad", "quad2") and quad_ok(batch_rows, chunk_len):
+        wire_fmt = "quad"
+    else:
+        wire_fmt = True
+    use_quad = wire_fmt in ("quad", "quad2")
+    halo = chunk_len - stride
+    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1"))
+
+    boot: dict = {}
+    boot_err: list = []
+    boot_done = threading.Event()
+
+    def _boot():
+        try:
+            t0 = time.monotonic()
+            from ntcard_tpu import _jax_config  # noqa: F401 (lazy axon registration)
+            import jax
+
+            boot["t_jax"] = time.monotonic() - t0
+            n_dev = opt.devices or len(jax.devices())
+            boot["n_dev"] = n_dev
+            if n_dev == 1:
+                from ntcard_tpu.models.sketch import ChainedCountTableSketch
+
+                # cheap: tables allocate lazily inside the first update
+                # program (models/sketch._update_first), so construction
+                # dispatches nothing
+                boot["sketch"] = ChainedCountTableSketch(
+                    ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
+                )
+            boot["t_ready"] = time.monotonic() - t0
+        except BaseException as e:
+            boot_err.append(e)
+        finally:
+            boot_done.set()
+
+    threading.Thread(target=_boot, daemon=True, name="ntcard-boot").start()
+
+    metrics = Metrics(opt.metrics)
+    stats: dict = {}
+    stages: dict = {}
+    # eager feed: decode/pack threads start NOW and run under the boot
+    batches = parallel_batches_from_files(
+        in_files, chunk_len, batch_rows, kmax, opt.n_thrd, stats_out=stats,
+        wire_packed=wire_fmt,
+    )
+    feed = device_prefetch(
+        superbatch(batches, n_super),
+        stage_times=stages if metrics.enabled else None,
+    )
+    boot_done.wait()
+    if boot_err:
+        raise boot_err[0]
+    if boot["n_dev"] != 1:
+        # auto-detected multi-device mesh: the eagerly started single-device
+        # stream is abandoned (nothing was dispatched yet) and the sharded
+        # legacy path re-reads the inputs
+        feed.close()
+        return _main_device_legacy(opt, in_files, total_size, s_time)
+    sketch = boot["sketch"]
+
+    metrics.start_profile()
+    warmed = False
+    with metrics.phase("pipeline"):
+        for batch in feed:
+            with metrics.phase("pipeline.dispatch"):
+                wire0 = batch if batch.ndim == 2 else batch[0]
+                sketch.update(
+                    batch,
+                    packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
+                )
+            if not warmed:
+                # load the finalize executables in the background while the
+                # dispatch loop runs (models/sketch.warm_finalize)
+                warmed = True
+                sketch.warm_finalize(opt.cov_max)
+    for name in ("decode", "pack", "h2d"):
+        if name in stages:
+            metrics.phases[f"pipeline.{name}"] = stages[name]
+    if opt.save_sketch:
+        sketch.save(opt.save_sketch)
+    with metrics.phase("finalize"):
+        state = sketch.finalize(cov_max=opt.cov_max)
+    metrics.stop_profile()
+
+    results = {}
+    with metrics.phase("estimate"):
+        for k in ks:
+            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
+            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
+    with metrics.phase("output"):
+        if not opt.output:
+            write_default(opt.prefix, ks, results, opt.cov_max)
+        else:
+            write_compact(opt.output, ks, results, opt.cov_max)
+    metrics.add("reads", stats.get("records", 0))
+    metrics.add("bases", stats.get("bases", 0))
+    metrics.add("overflow_replays", getattr(sketch, "replays", 0))
+    metrics.phases["boot.jax"] = round(boot.get("t_jax", 0.0), 4)
+    metrics.phases["boot.ready"] = round(boot.get("t_ready", 0.0), 4)
+    metrics.tag("engine", "device")
+    metrics.report()
+    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     s_time = time.monotonic()
     opt, args = parse_args(sys.argv[1:] if argv is None else argv)
@@ -305,10 +477,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if _use_host_engine(opt, total_size):
         return _main_host(opt, in_files, s_time)
+    if _fast_device_ok(opt):
+        return _main_device_fast(opt, in_files, total_size, s_time)
+    return _main_device_legacy(opt, in_files, total_size, s_time)
 
+
+def _main_device_legacy(opt, in_files, total_size, s_time) -> int:
+    """Device path with serial startup — multi-host, explicit multi-device,
+    hybrid engine, and CPU-platform (test) runs. Auto multi-device detection
+    also lands here via _main_device_fast's fallback."""
     from ntcard_tpu import _jax_config  # noqa: F401
     import jax
 
+    from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
     from ntcard_tpu.output import write_compact, write_default

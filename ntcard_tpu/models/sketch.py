@@ -240,6 +240,29 @@ def _update(
 @partial(
     jax.jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0,),
+)
+def _update_first(
+    f1s, ocount, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
+    """First-batch step with the table allocation FUSED into the program:
+    the per-k zero tables are created in here rather than by a separate
+    _make_tables dispatch. On the tunneled runtime every distinct program's
+    first call pays ~0.7-1.3 s of executable-load RPC, so a cold CLI run
+    paid one load for the alloc program and another for the update; fusing
+    them removes a full load from the startup serial chain (the sketch
+    allocates lazily — CountTableSketch.tables property)."""
+    nk = len(ks)
+    tables = tuple(jnp.zeros((2 * (1 << r_bits) + 1,), jnp.int32) for _ in range(nk))
+    t, f, flags = _update_impl(
+        tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed
+    )
+    return t, f, flags, ocount + flags.sum(dtype=jnp.uint32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
 def _update_stack(
@@ -381,6 +404,31 @@ def _hists_all_sparse(tables, r_buck, nbins, interp):
     return jnp.stack(rows)
 
 
+@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
+def _finalize_bundle(tables, f1s, ocount, r_buck, nbins, interp):
+    """Everything the device finalize needs in ONE program and ONE fetched
+    array ([2nK+1, nbins+1] int32): every (k, sample) row's sparse counter
+    hist with its nonzero count in the last column (as _hists_all_sparse),
+    plus a trailer row carrying [overflow count, F1 (hi, lo) words...].
+    On the tunneled runtime each D2H fetch costs ~90 ms of RPC latency;
+    the unfused finalize paid three (hists, overflow count, f1s).
+    NOT donating: the warm-loading path (CountTableSketch.warm) runs this
+    on the live zero tables before any update."""
+    rows = []
+    for t in tables:
+        for s in range(2):
+            h, c = _hist_row_sparse_parts(
+                jax.lax.dynamic_slice(t, (s * r_buck,), (r_buck,)), nbins, interp
+            )
+            rows.append(jnp.concatenate([h, c[None]]))
+    f1_words = jax.lax.bitcast_convert_type(f1s.reshape(-1), jnp.int32)
+    trailer = jnp.zeros((nbins + 1,), jnp.int32)
+    trailer = trailer.at[0].set(ocount.astype(jnp.int32))
+    trailer = jax.lax.dynamic_update_slice(trailer, f1_words, (1,))
+    rows.append(trailer)
+    return jnp.stack(rows)
+
+
 @partial(jax.jit, static_argnames=("nbins",))
 def _hist_row_fallback(row, nbins):
     """Exact full-row scatter hist (bins 0..nbins-1) — the rare dense-table
@@ -483,13 +531,19 @@ class DeferredReplayMixin:
         if len(self._pending) >= self._replay_lag:
             self._reap_window()
 
-    def _reap_window(self, flush: bool = False) -> None:
+    def _reap_window(self, flush: bool = False, known_count: int | None = None) -> None:
         if not self._pending:
             return
         m = len(self._pending) - 1
         if not flush:
             m = min(self._replay_lag // 2, m)
-        count = int(np.asarray(self._pending[m][1]))
+        if flush and known_count is not None:
+            # finalize already fetched the newest overflow count inside its
+            # fused bundle (_finalize_bundle trailer) — reuse it instead of
+            # paying another ~90 ms tunnel fetch for self._pending[m][1]
+            count = known_count
+        else:
+            count = int(np.asarray(self._pending[m][1]))
         window, self._pending = self._pending[: m + 1], self._pending[m + 1 :]
         if count == self._reaped:
             return
@@ -499,10 +553,11 @@ class DeferredReplayMixin:
             if f.any():
                 self._replay_flagged(f, flags, wire, packed)
 
-    def _flush_replays(self) -> None:
+    def _flush_replays(self, known_count: int | None = None) -> None:
         """Settle every pending overflow flag (finalize/save/merge must see
-        fully-applied tables)."""
-        self._reap_window(flush=True)
+        fully-applied tables). ``known_count``: the already-fetched newest
+        overflow count, when the caller has one."""
+        self._reap_window(flush=True, known_count=known_count)
 
 
 class ChainedCountTableSketch:
@@ -521,7 +576,8 @@ class ChainedCountTableSketch:
         # so the 4 GiB default deliberately collapses r27 multi-k to one
         # chain while r<=20 runs keep two.
         budget = int(os.environ.get("NTCARD_CHAIN_TABLE_BYTES", 4 << 30))
-        table_bytes = sum(int(t.size) for t in probe.tables) * 4
+        # from the config, NOT probe.tables (those allocate lazily)
+        table_bytes = len(probe.ks) * (2 * probe.r_buck + 1) * 4
         n_chains = max(1, min(n_chains, budget // max(table_bytes, 1)))
         self._chains = [probe] + [
             CountTableSketch(*args, **kwargs) for _ in range(n_chains - 1)
@@ -554,7 +610,36 @@ class ChainedCountTableSketch:
     def merge_host_(self, host) -> None:
         self._chains[0].merge_host_(host)
 
+    def warm_finalize(self, cov_max: int = 65535) -> list:
+        """Pre-load the finalize executables (CountTableSketch.warm_finalize)
+        — one load serves every chain (identical program signatures). With
+        >1 chain the finalize-time merge program is warmed too (its donated
+        dummy operands are small by construction: the chain budget collapses
+        GiB-scale configs to one chain)."""
+        threads = self._chains[0].warm_finalize(cov_max=cov_max)
+        if len(self._chains) > 1:
+            import threading
+
+            def _w_merge():
+                try:
+                    nk = len(self.ks)
+                    a = _make_tables(nk, 2 * self.r_buck + 1)
+                    b = _make_tables(nk, 2 * self.r_buck + 1)
+                    _merge_add(a, b)
+                except Exception:
+                    pass
+
+            t = threading.Thread(target=_w_merge, daemon=True)
+            t.start()
+            threads.append(t)
+        return threads
+
     def finalize(self, return_table: bool = False, cov_max: int = 65535):
+        if len(self._chains) == 1:
+            # skip merged()'s pre-flush: the chain's own finalize settles
+            # overflow replays with the count already in its fused bundle
+            # fetch (one tunnel RPC instead of two)
+            return self._chains[0].finalize(return_table=return_table, cov_max=cov_max)
         return self.merged().finalize(return_table=return_table, cov_max=cov_max)
 
 
@@ -587,11 +672,26 @@ class CountTableSketch(DeferredReplayMixin):
         self.r_buck = 1 << r_bits
         nk = len(self.ks)
         # per-k SEPARATE table buffers (see _update_impl: a stacked [nK, T]
-        # operand crosses the ~2.1 GiB scatter cliff at the default rBits=27)
-        self.tables = _make_tables(nk, 2 * self.r_buck + 1)
+        # operand crosses the ~2.1 GiB scatter cliff at the default rBits=27).
+        # Allocated LAZILY: the first update runs _update_first, which fuses
+        # the zero-fill into the update program — one executable load fewer
+        # on the cold-start critical path. Readers of .tables (merge, save,
+        # finalize on an empty sketch, multihost helpers) transparently get
+        # zero tables via the property.
+        self._tables = None
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
         self._init_replay()  # deferred overflow replay (DeferredReplayMixin)
+
+    @property
+    def tables(self):
+        if self._tables is None:
+            self._tables = _make_tables(len(self.ks), 2 * self.r_buck + 1)
+        return self._tables
+
+    @tables.setter
+    def tables(self, value):
+        self._tables = value
 
     def _f1_totals(self):
         """Exact per-k F1 as Python ints (single device->host transfer)."""
@@ -605,19 +705,33 @@ class CountTableSketch(DeferredReplayMixin):
         """codes: [B, L] uint8, or a wire batch when ``packed`` (see
         io/packing.py) — or a [n, rows, width] stack of same-format wire
         batches (pipeline superbatching), folded by one scanning dispatch."""
-        fn = _update_stack if codes.ndim == 3 else _update
-        self.tables, self.f1s, flags, self._ocount = fn(
-            self.tables,
-            self.f1s,
-            self._ocount,
-            codes,
-            self.ks,
-            self.stride,
-            self.s_bits,
-            self.r_bits,
-            self.gap_positions,
-            packed,
-        )
+        if self._tables is None and codes.ndim == 2:
+            # first batch: table alloc fused into the update program
+            self._tables, self.f1s, flags, self._ocount = _update_first(
+                self.f1s,
+                self._ocount,
+                codes,
+                self.ks,
+                self.stride,
+                self.s_bits,
+                self.r_bits,
+                self.gap_positions,
+                packed,
+            )
+        else:
+            fn = _update_stack if codes.ndim == 3 else _update
+            self.tables, self.f1s, flags, self._ocount = fn(
+                self.tables,
+                self.f1s,
+                self._ocount,
+                codes,
+                self.ks,
+                self.stride,
+                self.s_bits,
+                self.r_bits,
+                self.gap_positions,
+                packed,
+            )
         self._track_replay(flags, codes, packed)
 
     def _replay_flagged(self, f, _flags_dev, codes, packed) -> None:
@@ -713,6 +827,91 @@ class CountTableSketch(DeferredReplayMixin):
         self.tables = _merge_add(self.tables, tuple(padded))
         self._f1_loaded = [a + int(b) for a, b in zip(self._f1_loaded, host.f1s)]
 
+    def _bundle_ok(self, nbins: int) -> bool:
+        """The fused one-fetch finalize applies on accelerator platforms in
+        the sparse-hist bin range (the same routing as _counter_hists), and
+        needs the trailer row to fit the F1 words. NTCARD_FINALIZE=fused
+        forces it on CPU (tests, via the Pallas interpreter);
+        NTCARD_FINALIZE=unfused disables it."""
+        shape_ok = 32 < nbins < 65536 and nbins >= 2 * len(self.ks) + 1
+        env = os.environ.get("NTCARD_FINALIZE", "auto")
+        if env == "fused":
+            return shape_ok
+        if env == "unfused":
+            return False
+        dev = next(iter(self.tables[0].devices())) if hasattr(self.tables[0], "devices") else None
+        return dev is not None and dev.platform != "cpu" and shape_ok
+
+    def _finalize_fused(self, nbins: int):
+        """One program + ONE D2H fetch for hists, overflow count and F1
+        (_finalize_bundle): -> (hists [nK, 2, nbins] int64, f1 totals list).
+        The overflow flush reuses the bundled count, so the common case
+        (no overflow) adds zero fetches; a flush that actually replays
+        (rare) invalidates the optimistic hists and recomputes."""
+        interp = jax.devices()[0].platform != "tpu"
+        nk = len(self.ks)
+
+        def fetch():
+            combined = np.asarray(
+                _finalize_bundle(
+                    self.tables, self.f1s, self._ocount, self.r_buck, nbins, interp
+                )
+            )
+            hists, cnts = combined[:-1, :nbins].copy(), combined[:-1, nbins]
+            for r in np.flatnonzero(cnts > _HIST_CAP):
+                i, s = divmod(int(r), 2)
+                hists[r] = np.asarray(
+                    _hist_row_fallback(
+                        self.tables[i][s * self.r_buck : (s + 1) * self.r_buck], nbins
+                    )
+                )
+            return hists.reshape(nk, 2, nbins), combined[-1]
+
+        pre_replays = self.replays
+        hists, trailer = fetch()
+        self._flush_replays(known_count=int(trailer[0]))
+        if self.replays != pre_replays:
+            hists, trailer = fetch()
+        words = trailer[1 : 1 + 2 * nk].astype(np.int64) & 0xFFFFFFFF
+        f1s = [
+            self._f1_loaded[i] + int((words[2 * i] << 32) | words[2 * i + 1])
+            for i in range(nk)
+        ]
+        return hists, f1s
+
+    def warm_finalize(self, cov_max: int = 65535) -> list:
+        """Pre-load the finalize-bundle executable on a background thread.
+
+        On the tunneled runtime the FIRST call of each jitted program pays
+        ~0.7-1.3 s of executable-load RPC even when the server compile
+        cache is warm, and loads across programs parallelize (measured,
+        docs/TPU_BACKEND_NOTES.md round-4). The CLI calls this right after
+        its first real update dispatch, so the finalize program loads
+        during the dispatch loop instead of serializing into finalize.
+        The warm call runs on the live tables — _finalize_bundle does not
+        donate, its result is discarded unfetched, and it chains behind
+        whatever updates are in flight (pure latency hiding)."""
+        import threading
+
+        if self._tables is None:
+            return []  # nothing dispatched yet; finalize will pay its load
+        nbins = min(cov_max + 1, 65536)
+        if not self._bundle_ok(nbins):
+            return []
+
+        def _w_finalize():
+            try:
+                interp = jax.devices()[0].platform != "tpu"
+                _finalize_bundle(
+                    self.tables, self.f1s, self._ocount, self.r_buck, nbins, interp
+                )
+            except Exception:
+                pass  # warm-loading is best-effort; the real call will load
+
+        t = threading.Thread(target=_w_finalize, daemon=True)
+        t.start()
+        return [t]
+
     def finalize(self, return_table: bool = False, cov_max: int = 65535) -> Dict[int, dict]:
         """-> {k: {"hist": int64[2, <=cov_max+1], "f1": int, ["table": ...]}}.
 
@@ -722,18 +921,22 @@ class CountTableSketch(DeferredReplayMixin):
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
         nbins = min(cov_max + 1, 65536)
-        # optimistic ordering: dispatch + fetch the histograms BEFORE
-        # settling overflow flags — the hist program chains after the
-        # in-flight updates on device, so its fetch absorbs the drain wait
-        # AND the subsequent flush fetch returns instantly (two sequential
-        # ~0.5-1 s tunnel waits become one). A flush that actually replays
-        # (rare) invalidates the optimistic hists; recompute then.
-        pre_replays = self.replays
-        hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
-        self._flush_replays()
-        if self.replays != pre_replays:
+        if self._bundle_ok(nbins):
+            hists, f1s = self._finalize_fused(nbins)
+        else:
+            # optimistic ordering: dispatch + fetch the histograms BEFORE
+            # settling overflow flags — the hist program chains after the
+            # in-flight updates on device, so its fetch absorbs the drain
+            # wait AND the subsequent flush fetch returns instantly (two
+            # sequential ~0.5-1 s tunnel waits become one). A flush that
+            # actually replays (rare) invalidates the optimistic hists;
+            # recompute then.
+            pre_replays = self.replays
             hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
-        f1s = self._f1_totals()
+            self._flush_replays()
+            if self.replays != pre_replays:
+                hists = np.asarray(_counter_hists(self.tables, self.r_buck, nbins))
+            f1s = self._f1_totals()
         out = {}
         for i, k in enumerate(self.ks):
             out[k] = {"hist": hists[i].astype(np.int64), "f1": f1s[i]}

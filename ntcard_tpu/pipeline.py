@@ -373,16 +373,104 @@ def superbatch(
     yield from flush_singles()
 
 
+class EagerPrefetch:
+    """Iterator whose upstream is consumed by a background worker into a
+    bounded queue, started at CONSTRUCTION — unlike the lazy ``prefetch``
+    generator, the upstream (e.g. file decode) runs ahead before the
+    consumer's first next(). The CLI's fast device path overlaps input
+    decode with the multi-second jax import / device bootstrap this way.
+
+    Upstream exceptions (including the decode error contract's SystemExit)
+    are re-raised to the consumer after the already-queued items. ``close``
+    stops the worker promptly (used when an eagerly started stream must be
+    abandoned, e.g. the auto-detected multi-device fallback)."""
+
+    def __init__(self, iterator: Iterable, depth: int = 3, close_also=None):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: list = []
+        self._stop = threading.Event()
+        self._close_also = close_also
+        self._t = threading.Thread(target=self._work, args=(iterator,), daemon=True)
+        self._t.start()
+
+    def _work(self, iterator) -> None:
+        import queue
+
+        try:
+            for item in iterator:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except BaseException as e:  # propagate SystemExit etc. to consumer
+            self._err.append(e)
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._done, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import queue
+
+        while True:
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.2)
+                break
+            except queue.Empty:
+                if not self._t.is_alive() and self._q.empty():
+                    # worker died without managing to enqueue the sentinel
+                    if self._err:
+                        raise self._err[0]
+                    raise StopIteration
+        if item is self._done:
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        """Abandon the stream: stop the worker and drop queued items."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=5.0)
+        if self._close_also is not None:
+            self._close_also.close()
+
+
 def device_prefetch(
     iterator: Iterable,
     depth: int = 3,
     pack: bool = False,
     stage_times: Optional[dict] = None,
     put_fn=None,
-) -> Iterator:
+    decode_depth: Optional[int] = None,
+) -> EagerPrefetch:
     """Two-stage threaded host->device feed: a decode thread runs the
     upstream batch generator, a separate transfer thread issues the explicit
-    async ``jax.device_put``, and the caller dispatches.
+    async ``jax.device_put``, and the caller dispatches. EAGER: both worker
+    threads start at the call, and jax is only imported on the transfer
+    thread — the caller can build the whole feed before the device
+    bootstrap finishes (the transfer thread self-blocks on the jax import
+    lock until then, while decode runs ahead into its queue).
 
     Two measured pathologies shape this (docs/TPU_BACKEND_NOTES.md):
       * feeding numpy straight into a jitted update enqueues the implicit
@@ -394,13 +482,14 @@ def device_prefetch(
         in its own thread the encode overlaps decode — measured ~2x
         end-to-end. Extra put threads do NOT help (client-serialized).
 
+    ``decode_depth`` bounds the decoded-batch queue (host RAM only; default
+    8 so decode keeps running through a multi-second bootstrap), while
+    ``depth`` bounds in-flight device buffers.
+
     ``pack=True`` additionally nibble-packs each [B, L] batch to [B/2, L]
     (io.packing.pack_rows) in the decode thread — consumers must then call
     update(batch, packed=True); halving the wire halves the put cost. On
     CPU backends the whole thing is a cheap pass-through."""
-    from ntcard_tpu import _jax_config  # noqa: F401
-    import jax
-
     from ntcard_tpu.io.packing import pack_rows
 
     def decode_stage(it):
@@ -423,10 +512,18 @@ def device_prefetch(
             yield p
             t_last = _time.perf_counter()
 
-    put = put_fn or jax.device_put  # e.g. PerDeviceCountTableSketch.put_shards
-
     def put_stage(it):
-        # runs in prefetch thread 2: the CPU-heavy transfer encode
+        # runs in prefetch thread 2: the CPU-heavy transfer encode. jax is
+        # imported HERE (not by the caller): under the lean-boot launchers
+        # the first import pays ~2.8 s, and paying it on this thread keeps
+        # the caller free (decode runs ahead regardless).
+        if put_fn is None:
+            from ntcard_tpu import _jax_config  # noqa: F401
+            import jax
+
+            put = jax.device_put
+        else:
+            put = put_fn  # e.g. PerDeviceCountTableSketch.put_shards
         if stage_times is None:
             for p in it:
                 yield put(p)
@@ -438,9 +535,11 @@ def device_prefetch(
             t0 = _time.perf_counter()
             d = put(p)
             st["h2d"] = st.get("h2d", 0.0) + (_time.perf_counter() - t0)
+            st["h2d_bytes"] = st.get("h2d_bytes", 0) + int(getattr(p, "nbytes", 0))
             yield d
 
-    yield from prefetch(put_stage(prefetch(decode_stage(iterator), depth=depth)), depth=depth)
+    decoded = EagerPrefetch(decode_stage(iterator), depth=decode_depth or max(depth, 8))
+    return EagerPrefetch(put_stage(decoded), depth=depth, close_also=decoded)
 
 
 def prefetch(iterator: Iterable, depth: int = 3) -> Iterator:

@@ -142,3 +142,55 @@ def test_superbatch_stack_replay_bitexact(monkeypatch, baseline):
     assert sk.replays >= 1
     np.testing.assert_array_equal(state[K]["table"], baseline[K]["table"])
     assert state[K]["f1"] == baseline[K]["f1"]
+
+
+def test_fused_finalize_replay_bitexact(monkeypatch, baseline):
+    """The fused one-fetch finalize (_finalize_bundle) with a REAL pending
+    overflow: the flush must fire from the bundled overflow count
+    (known_count) and the recomputed hists must match the plain run."""
+    monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
+    monkeypatch.setenv("NTCARD_FINALIZE", "fused")
+    monkeypatch.setenv("NTCARD_REPLAY_LAG", "64")  # keep everything pending
+    jax.clear_caches()
+    try:
+        sk = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        for b in pack_records(_overflow_records(), CHUNK, ROWS, K):
+            sk.update(b)
+        assert sk._pending  # finalize itself must settle the replays
+        state = sk.finalize(cov_max=1000)
+        monkeypatch.setenv("NTCARD_FINALIZE", "unfused")
+        base = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        monkeypatch.delenv("NTCARD_SCATTER")
+        jax.clear_caches()
+        for b in pack_records(_overflow_records(), CHUNK, ROWS, K):
+            base.update(b)
+        base_state = base.finalize(cov_max=1000)
+    finally:
+        jax.clear_caches()
+    assert sk.replays >= 1
+    np.testing.assert_array_equal(state[K]["hist"], base_state[K]["hist"])
+    assert state[K]["f1"] == base_state[K]["f1"]
+
+
+def test_fused_finalize_matches_unfused_random(monkeypatch):
+    """No-overflow case: fused and unfused finalize agree bit-for-bit
+    (hists, F1) on random content at the big-table geometry."""
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b"ACGTN", np.uint8)
+    recs = [bytes(rng.choice(alphabet, size=int(rng.integers(10, 300)))) for _ in range(60)]
+    monkeypatch.setenv("NTCARD_FINALIZE", "fused")
+    jax.clear_caches()
+    try:
+        sk = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        for b in pack_records(recs, CHUNK, ROWS, K):
+            sk.update(b)
+        fused = sk.finalize(cov_max=200)
+        monkeypatch.setenv("NTCARD_FINALIZE", "unfused")
+        sk2 = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        for b in pack_records(recs, CHUNK, ROWS, K):
+            sk2.update(b)
+        unfused = sk2.finalize(cov_max=200)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(fused[K]["hist"], unfused[K]["hist"])
+    assert fused[K]["f1"] == unfused[K]["f1"]

@@ -221,6 +221,58 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         best_dev = min(best_dev, best)  # every pass was device-only
     phases["device_only_reads_per_sec"] = round(N_READS / best_dev, 1)
     phases["engine"] = "hybrid" if hybrid else "device"
+    # --- single-chip roofline: the tunneled H2D link caps any e2e device
+    # run at wire_bytes / link_rate; report how close the device e2e wall
+    # is to that ceiling so its reads/s is judged against the link, not
+    # read as kernel slowness (at quad2's ~2.06 bits/base the 90 Mbp input
+    # is ~23 MB of wire; kernels alone run ~590 Mbases/s/k).
+    try:
+        wire_bytes = int(dev_phases.get("h2d_bytes", 0))
+        h2d_sec = float(dev_phases.get("h2d", 0.0))
+        if wire_bytes:
+            phases["wire_bytes"] = wire_bytes
+            # idle-link probe: isolated sequential puts, chip quiet — the
+            # absolute upper bound of the tunnel
+            idle_bps = _measure_link_rate()
+            phases["link_mbps_idle"] = round(idle_bps / 1e6, 1)
+            # streaming rate: what the device pass's own put stage sustained
+            # while compute was in flight (the regime an e2e run lives in;
+            # puts contend with dispatch RPCs on this client — measured
+            # ~46 MB/s in round 2/3)
+            phases["effective_wire_mbps"] = round(wire_bytes / best_dev / 1e6, 1)
+            if h2d_sec > 0:
+                phases["link_mbps_streaming"] = round(wire_bytes / h2d_sec / 1e6, 1)
+            floor = wire_bytes / idle_bps
+            if floor <= best_dev * 1.05:  # a stormy probe can exceed the
+                phases["link_floor_sec"] = round(floor, 3)  # wall: then skip
+                phases["device_e2e_vs_link_floor"] = round(floor / best_dev, 3)
+    except Exception:
+        pass
+    # --- scaling-efficiency proxy (BASELINE.md north star: >=85% at 2
+    # hosts; no multi-chip hardware exists here). The chains engine runs
+    # the IDENTICAL single-chip program per device with zero cross-device
+    # traffic until finalize (parallel/data_parallel.py), so weak-scaling
+    # efficiency to N devices is T_stream / (T_stream + T_merge_extra):
+    # per-shard stream time equals the single-chip wall by construction
+    # and the only added cost is the finalize table merge, measured here
+    # on-chip (the ICI table hop a real slice adds is excluded — bounded
+    # well under the merge itself at public v5e ICI rates).
+    try:
+        merge_sec = _measure_merge_sec()
+        if merge_sec is not None:
+            eff = best_dev / (best_dev + merge_sec)
+            phases["merge_sec_per_extra_shard"] = round(merge_sec, 4)
+            phases["scaling_efficiency_proxy_2dev"] = round(eff, 4)
+            # the bench input is deliberately small (90 Mbp); per-shard
+            # stream time scales linearly with input while the merge stays
+            # one dispatch, so also report the proxy at 1 Gbp/shard — the
+            # scale the >=85% north star is about
+            t_1gbp = best_dev * (1e9 / (N_READS * READ_LEN))
+            phases["scaling_efficiency_proxy_2dev_1gbp"] = round(
+                t_1gbp / (t_1gbp + merge_sec), 4
+            )
+    except Exception:
+        pass
     # the host engine alone (NTCARD_ENGINE=host — a product configuration)
     # beats hybrid on short streams, where the device's per-batch tunnel
     # RPCs stretch the makespan faster than the tail guard can cut it off;
@@ -240,6 +292,54 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
             return host_rps, phases
     phases = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in phases.items()}
     return N_READS / best, phases
+
+
+def _measure_link_rate(n_mb: int = 24) -> float:
+    """Effective H2D link rate (bytes/s): sequential device_puts of DISTINCT
+    random buffers (the runtime memoizes identical transfers), drained with
+    block_until_ready. This is the single-chip e2e ceiling's denominator."""
+    import numpy as np
+
+    from ntcard_tpu import _jax_config  # noqa: F401
+    import jax
+
+    rng = np.random.default_rng(123)
+    jax.block_until_ready(jax.device_put(rng.integers(0, 255, size=(1 << 20,), dtype=np.uint8)))
+    best = 0.0
+    for _ in range(3):  # best-of-3: single probes swing >10x with tunnel weather
+        arrs = [rng.integers(0, 255, size=(4 << 20,), dtype=np.uint8) for _ in range(n_mb // 4)]
+        t0 = time.perf_counter()
+        jax.block_until_ready([jax.device_put(a) for a in arrs])
+        dt = time.perf_counter() - t0
+        best = max(best, (len(arrs) * (4 << 20)) / max(dt, 1e-9))
+    return best
+
+
+def _measure_merge_sec(m: int = 6) -> float | None:
+    """Amortized wall of one on-chip table merge at the bench config — the
+    chains engine's only per-extra-shard finalize cost. Measured as a CHAIN
+    of m donation merges ending in one tiny fetch, divided by m (the
+    chained-dependency protocol of docs/TPU_BACKEND_NOTES.md: a single
+    merge's wall here is dominated by one D2H fetch's ~90 ms-to-seconds
+    tunnel RPC latency, which finalize pays once regardless of shard
+    count). The executable load is warmed first (once-per-process cost)."""
+    import numpy as np
+
+    from ntcard_tpu import _jax_config  # noqa: F401
+    import jax
+    from ntcard_tpu.models.sketch import _make_tables, _merge_add
+
+    n = 2 * (1 << R_BITS) + 1
+    a, b = _make_tables(1, n), _make_tables(1, n)
+    jax.block_until_ready(_merge_add(a, b))  # load + warm
+    acc = _make_tables(1, n)
+    others = [_make_tables(1, n) for _ in range(m)]
+    jax.block_until_ready((acc,) + tuple(others))
+    t0 = time.perf_counter()
+    for b in others:
+        acc = _merge_add(acc, b)
+    np.asarray(acc[0][:8])
+    return (time.perf_counter() - t0) / m
 
 
 def _device_alive(timeout_s: float = 80.0, attempts: int = 3) -> bool:
@@ -362,53 +462,96 @@ def _arm_watchdog(seconds: float, ref_rps: float, fq: Path) -> None:
     t.start()
 
 
+def _lean_cli_env(**extra) -> dict:
+    """Env for launching the product CLI exactly as bin/ntcard does: the
+    container sitecustomize (on PYTHONPATH) imports jax into EVERY python
+    process (~2.5 s before main starts); the launcher strips it and the CLI
+    registers the axon plugin lazily (ntcard_tpu/_jax_config.py). The repo
+    root itself must stay importable."""
+    env = dict(os.environ, **extra)
+    env["NTCARD_AXON_SITE"] = env.get("PYTHONPATH", "/root/.axon_site")
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent)
+    return env
+
+
 def measure_r27_default(fq: Path, deadline_left: float) -> dict:
     """Head-to-head at the PRODUCT DEFAULT config (-k64,96,128, rBits=27,
-    cov 1000): device-forced CLI wall vs the reference binary, both as cold
-    subprocesses on the same input. Best-effort — skipped when the round's
-    watchdog budget is thin or a run times out (a compile-cache-cold device
-    run takes ~37 s once; warm ~6 s)."""
+    cov 1000): device-forced CLI wall AND the no-env default-engine CLI
+    wall vs the reference binary, all as cold subprocesses on the same
+    input (our CLI launched with the bin/ntcard lean-boot env — the
+    product launcher semantics). Best-effort — skipped when the round's
+    watchdog budget is thin or a run times out (a compile-cache-cold
+    device run takes ~30-160 s once; warm ~4-9 s depending on tunnel
+    weather)."""
     out: dict = {}
     if deadline_left < 200:
         return out
+    nthreads = os.cpu_count() or 1
     # cache keyed like measure_reference's: input size + thread count
-    ref_cache = WORK / f"ref_r27_wall_{N_READS}_t{os.cpu_count() or 1}.json"
+    ref_cache = WORK / f"ref_r27_wall_{N_READS}_t{nthreads}.json"
     exe = WORK / "ntcard_ref"
+    ref_wall = None
     try:
         if ref_cache.exists():
-            out["r27_default_ref_wall_sec"] = json.loads(ref_cache.read_text())["wall"]
+            ref_wall = json.loads(ref_cache.read_text())["wall"]
         elif exe.exists():
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 subprocess.run(
-                    [str(exe), f"-t{os.cpu_count() or 1}", "-k64,96,128",
+                    [str(exe), f"-t{nthreads}", "-k64,96,128",
                      "-p", str(WORK / "ref27"), str(fq)],
                     check=True, capture_output=True, timeout=120,
                 )
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             ref_cache.write_text(json.dumps({"wall": round(best, 3)}))
-            out["r27_default_ref_wall_sec"] = round(best, 3)
+            ref_wall = round(best, 3)
+        if ref_wall is not None:
+            out["r27_default_ref_wall_sec"] = ref_wall
+    except (subprocess.SubprocessError, OSError):
+        pass
+    # the PRODUCT DEFAULT (no env, auto engine — must be the best engine):
+    # cheap host-engine runs, best-of-3
+    try:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, "-m", "ntcard_tpu.cli", f"-t{nthreads}",
+                 "-k64,96,128", "-p", str(WORK / "auto27"), str(fq)],
+                capture_output=True, timeout=150, env=_lean_cli_env(),
+            )
+            if r.returncode != 0:
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            out["r27_default_auto_wall_sec"] = round(best, 3)
     except (subprocess.SubprocessError, OSError):
         pass
     try:
-        env = dict(os.environ, NTCARD_ENGINE="device")
+        env = _lean_cli_env(NTCARD_ENGINE="device")
         best = None
         t_all = time.perf_counter()
-        # best-of-4 bounded: the tunnel's wall swings ~5-13 s pass to pass
-        for _ in range(4):
+        # best-of-N bounded: the tunnel's wall swings ~4-13 s pass to pass
+        # (weather, docs/TPU_BACKEND_NOTES.md); stop early once a pass
+        # clearly beats the reference — more passes would only lower an
+        # already-banked best-of
+        for i in range(6):
             t0 = time.perf_counter()
             r = subprocess.run(
                 [sys.executable, "-m", "ntcard_tpu.cli", "-k64,96,128",
                  "-p", str(WORK / "our27"), str(fq)],
-                capture_output=True, timeout=150, env=env,
+                capture_output=True, timeout=200, env=env,
             )
             if r.returncode != 0:
                 return out
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if dt > 60 or time.perf_counter() - t_all > 90:
+            if ref_wall is not None and best < ref_wall - 0.3:
+                break  # banked
+            if dt > 60 or time.perf_counter() - t_all > (120 if i else 180):
                 break  # compile-cold pass or budget spent
         # a >60 s best means the compile cache was cold (or the tunnel had a
         # storm); label it so it is never mistaken for the warm wall

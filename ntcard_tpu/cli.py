@@ -183,16 +183,30 @@ def _gap_positions(opt) -> Optional[tuple]:
 
 
 def _use_host_engine(opt, total_size: int) -> bool:
-    """Engine selection (NTCARD_ENGINE=auto|host|device).
+    """Engine selection (NTCARD_ENGINE=auto|host|device|hybrid).
 
-    "auto" routes small inputs to the native host engine
-    (models/host_engine.py) ONLY on accelerator platforms, where runtime
-    handshake + program load + H2D transfer are fixed costs that dominate
-    small jobs; large inputs stream to the device path. On the CPU platform
-    (tests, machines without accelerators) the XLA path is already host
-    execution, so auto never switches. The 64 MB default threshold is
-    env-tunable (NTCARD_HOST_MAX_BYTES) — on slow tunneled links a larger
-    value can win (see README measurements)."""
+    "auto" (the default) picks, per job, the engine a simple measured cost
+    model predicts fastest — the product must not default to its
+    second-best engine:
+
+      * host engine wall  ~ input_bytes / (NTCARD_HOST_RATE_BPS / nK)
+        (the AVX-512 engine measured ~1.6/nK Gbases/s on 4 host cores;
+        the default rate is HALF that, and on-disk bytes overestimate
+        bases, so the estimate is deliberately pessimistic for the host);
+      * device path wall  >= NTCARD_DEVICE_FLOOR_SEC of fixed cost (jax
+        import + runtime handshake + executable loads — ~3-4 s measured
+        on the tunneled runtime, similar order on any cold start) before
+        its streaming rate matters.
+
+    Below the floor the host engine wins regardless of r/k (measured: r16
+    92 MB host 0.4 s vs device ~5 s; r27 3-k 90 Mbp host 1.7 s vs device
+    ~5-7 s); above it, large streams go to the device path, whose per-base
+    rate wins on real (non-tunneled) links. Applies ONLY on accelerator
+    platforms — on the CPU platform (tests, machines without accelerators)
+    the XLA path is already host execution, so auto never switches.
+    NTCARD_HOST_MIN_RBITS (legacy knob) still forces big-table runs to the
+    host engine at any size; NTCARD_HOST_TABLE_MAX caps the host table RAM
+    (GiB-scale nK*2^rBits tables at extreme configs)."""
     import os
 
     eng = os.environ.get("NTCARD_ENGINE", "auto")
@@ -207,19 +221,16 @@ def _use_host_engine(opt, total_size: int) -> bool:
     plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
     if plat in ("", "cpu"):
         return False
-    # Round 2 also routed big-table runs (rBits >= 20) here because the
-    # device update was extraction+scatter bound (~15 Mbases/s at r27
-    # multi-k). Round 3's per-k tables + all-or-nothing masked sparse
-    # scatter + deferred overflow replay lifted the device step to ~88
-    # Mwindows/s/k and the default-config CLI wall below the reference
-    # (docs/TPU_BACKEND_NOTES.md round-3 addenda), so only genuinely small
-    # inputs stay on the host engine. NTCARD_HOST_MIN_RBITS restores the
-    # old routing if a deployment's link makes the host engine win again.
+    nk = max(1, len(opt.k_list))
+    host_table_bytes = nk * 2 * (1 << opt.r_bits) * 2
+    if host_table_bytes > int(os.environ.get("NTCARD_HOST_TABLE_MAX", 4 << 30)):
+        return False  # host table would not fit sane RAM; stream to HBM
     big_r = opt.r_bits >= int(os.environ.get("NTCARD_HOST_MIN_RBITS", "99"))
-    if not big_r and total_size >= int(
-        os.environ.get("NTCARD_HOST_MAX_BYTES", 64 << 20)
-    ):
-        return False
+    if not big_r:
+        host_rate = float(os.environ.get("NTCARD_HOST_RATE_BPS", 0.8e9)) / nk
+        floor = float(os.environ.get("NTCARD_DEVICE_FLOOR_SEC", 4.0))
+        if total_size / host_rate >= floor:
+            return False  # long stream: the device path's rate pays its floor
     from ntcard_tpu.models.host_engine import host_engine_available
 
     return host_engine_available()

@@ -121,7 +121,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             total = sum(_isize(f) for f in _expand(args))
             thresh = int(_os.environ.get("NTCARD_HLL_HOST_MAX_BYTES", 256 << 20))
-            use_host = total < thresh and host_engine_available()
+            # same cost model as cli._use_host_engine: host unless the
+            # estimated host-only wall exceeds the device fixed-cost floor
+            host_rate = float(_os.environ.get("NTCARD_HOST_RATE_BPS", 0.8e9))
+            floor = float(_os.environ.get("NTCARD_DEVICE_FLOOR_SEC", 4.0))
+            use_host = (
+                total < thresh or total / host_rate < floor
+            ) and host_engine_available()
     if use_host:
         return _main_host(args, km_len, n_bits, n_thrd)
 

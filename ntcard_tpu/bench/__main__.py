@@ -51,7 +51,6 @@ def _chained(stepfn, batches, acc0):
 def bench_kernel():
     from ntcard_tpu import _jax_config  # noqa: F401
     import jax
-    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.models.sketch import _table_add
@@ -88,7 +87,6 @@ def bench_kernel():
 def bench_multik():
     from ntcard_tpu import _jax_config  # noqa: F401
     import jax
-    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
 
     from ntcard_tpu.ops.nthash import sketch_scan
@@ -234,11 +232,123 @@ def bench_hostpack():
     print(f"{n} batches, {stats['bases'] / dt / 1e6:.0f} Mbases/s")
 
 
+def _murmur64a(windows: np.ndarray) -> np.ndarray:
+    """MurmurHash2 64A over [N, k] byte windows (k % 8 == 0), vectorized
+    across N — semantics of the reference's comparison hash
+    (vendor/ntHash/lib/murmur.hpp:14-62), reimplemented (not vendored) for
+    the runtime race. numpy uint64 arithmetic wraps mod 2^64 like C."""
+    n, k = windows.shape
+    m = np.uint64(0xC6A4A7935BD1E995)
+    r = np.uint64(47)
+    chunks = np.ascontiguousarray(windows).view("<u8").reshape(n, k // 8)
+    h = np.full(n, np.uint64((k * 0xC6A4A7935BD1E995) & 0xFFFFFFFFFFFFFFFF))
+    for i in range(k // 8):
+        kx = chunks[:, i] * m
+        kx ^= kx >> r
+        kx *= m
+        h ^= kx
+        h *= m
+    h ^= h >> r
+    h *= m
+    h ^= h >> r
+    return h
+
+
+def _fnv1a64(windows: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 over [N, k] byte windows, vectorized across N (a second
+    widely-used comparison hash for the race; per-byte like CityHash's
+    small-input path)."""
+    n, k = windows.shape
+    h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(k):
+        h ^= windows[:, i].astype(np.uint64)
+        h *= prime
+    return h
+
+
+def bench_race():
+    """Runtime race of hashing methods on identical reads — the nttest
+    'runtime' mode analog (nttest.cpp:496-550 races ntbase/nthash against
+    city/murmur/xxhash CPU implementations; the vendored comparison libs
+    are not ported, so the competitors here are vectorized numpy
+    reimplementations of murmur2-64A and FNV-1a 64). Reported as Mbases/s
+    over the same input for every method:
+      nthash-device  the fused canonical-hash kernel (chained, drained)
+      nthash-host    the native AVX-512 host engine (hash+sample+count)
+      murmur64a      numpy-vectorized per-window competitor
+      fnv1a64        numpy-vectorized per-window competitor"""
+    from ntcard_tpu.constants import ASCII_TO_CODE
+
+    k = 64
+    n_reads, read_len = 20_000, 152
+    rng = np.random.default_rng(3)
+    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(n_reads, read_len))
+    total_bases = n_reads * read_len
+    print(f"# hash runtime race: {n_reads} reads x {read_len} bp, k={k}")
+
+    # numpy competitors hash every window of every read
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(reads, k, axis=1).reshape(-1, k)
+    for name, fn in [("murmur64a", _murmur64a), ("fnv1a64", _fnv1a64)]:
+        fn(wins[:1024])  # warm
+        t0 = time.perf_counter()
+        h = fn(wins)
+        dt = time.perf_counter() - t0
+        assert h.shape[0] == wins.shape[0]
+        print(f"{name:14s} {total_bases / dt / 1e6:8.1f} Mbases/s")
+
+    # the native host engine (hash + sample + count — it has no hash-only
+    # entry; the extra work only understates its rate)
+    from ntcard_tpu.io.packing import StreamPacker, aligned_stride
+    from ntcard_tpu.models.host_engine import HostCountTableSketch, host_engine_available
+
+    stride = aligned_stride(read_len + 8, k)
+    if host_engine_available():
+        packer = StreamPacker(read_len + 8, 8192, k)
+        batches = []
+        for row in reads:
+            batches.extend(packer.feed(row.tobytes()))
+        batches.extend(packer.finish())
+        sk = HostCountTableSketch((k,), 7, 16, stride, n_threads=1)
+        sk.update(batches[0])  # warm (library load)
+        t0 = time.perf_counter()
+        for b in batches:
+            sk.update(b)
+        dt = time.perf_counter() - t0
+        print(f"{'nthash-host':14s} {total_bases / dt / 1e6:8.1f} Mbases/s  (1 thread, +sample+count)")
+
+    # the device kernel (canonical hashes only, chained + drained)
+    from ntcard_tpu import _jax_config  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from ntcard_tpu.ops.nthash import canonical_hashes
+
+    codes = ASCII_TO_CODE[reads]
+    rows = (n_reads // 8) * 8
+    dev_stride = aligned_stride(read_len, k)  # raw read rows, no separators
+    dev_batches = [
+        jnp.asarray(codes[i : i + rows // 4]) for i in range(0, rows, rows // 4)
+    ]
+
+    @jax.jit
+    def step(c, acc):
+        hi, lo, valid = canonical_hashes(c, k, dev_stride)
+        return acc ^ hi.sum(dtype=jnp.uint32) ^ lo.sum(dtype=jnp.uint32)
+
+    dt = _chained(step, dev_batches, jnp.zeros((1,), jnp.uint32))
+    per_batch_bases = (rows // 4) * read_len
+    print(f"{'nthash-device':14s} {per_batch_bases / dt / 1e6:8.1f} Mbases/s  (hash only)")
+
+
 MODES = {
     "kernel": bench_kernel,
     "multik": bench_multik,
     "uniformity": bench_uniformity,
     "bloom": bench_bloom,
+    "race": bench_race,
     "e2e": bench_e2e,
     "hostpack": bench_hostpack,
 }

@@ -32,6 +32,9 @@ A list of files containing file names in each row can be passed with @ prefix.
  Options:
 
   -t, --threads=N\tuse N parallel threads [1] (N>=2 should be used when input files are >=2)
+           \ton the host engine, N caps ALL workers (reference semantics);
+           \ton the device engine, N fans file decode only — device
+           \tdispatch/transfer threads are managed by the runtime.
   -k, --kmer=N\tthe length of kmer
   -g, --gap=N\tthe length of gap in the gap seed [0]. g mod 2 must equal k mod 2 unless g == 0
            \t-g does not support multiple k currently.
@@ -40,6 +43,16 @@ A list of files containing file names in each row can be passed with @ prefix.
   -o, --output=STRING\tthe name for output file name (used when output should be a single file)
       --help\tdisplay this help and exit
       --version\toutput version information and exit
+
+ Engine selection (env NTCARD_ENGINE=auto|host|device|hybrid, default auto):
+  auto    cost-model routing — native AVX-512 host engine for jobs whose
+          estimated host wall beats the accelerator's fixed startup floor,
+          TPU streaming engine otherwise (always host on CPU-only machines)
+  host    force the native host engine (never touches the accelerator)
+  device  force the TPU streaming engine
+  hybrid  work-steal batches between both engines, merge at finalize
+ Further env knobs (wire format, sharding engine, kernels) are documented
+ in the repo README and .claude/skills/verify/SKILL.md.
 
 Report bugs to https://github.com/bcgsc/ntCard/issues
 """

@@ -82,6 +82,27 @@ class BloomFilter:
             (1.0 - np.exp(-self.n_hashes * self.n_inserted / m)) ** self.n_hashes
         )
 
+    def store_raw(self, path: str) -> None:
+        """Reference BloomFilter file format (BloomFilter.hpp:260-264): the
+        raw bit array, (m + 7)/8 bytes, MSB-first within each byte (the
+        reference sets bit ``1 << (7 - hLoc % 8)``, which is exactly
+        np.packbits' big-endian order). For power-of-two m the reference's
+        ``hVal % m`` equals our ``lo & (m - 1)``, so a filter built here
+        from the same k-mers is BYTE-IDENTICAL to one stored by the
+        reference's canonical ``insert`` (tests/test_bloom.py interop)."""
+        with open(path, "wb") as f:
+            f.write(np.packbits(np.asarray(self.slots)).tobytes())
+
+    @classmethod
+    def load_raw(cls, path: str, k: int, m_bits: int, n_hashes: int = 3) -> "BloomFilter":
+        """Load a reference-format raw bit array (the load constructor of
+        BloomFilter.hpp:40-47 — the file carries no header, so k/m/h come
+        from the caller, as in the reference)."""
+        self = cls(k, m_bits, n_hashes)
+        raw = np.fromfile(path, dtype=np.uint8, count=(1 << m_bits) // 8)
+        self.slots = jnp.asarray(np.unpackbits(raw)[: 1 << m_bits].astype(np.uint8))
+        return self
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,

@@ -63,3 +63,51 @@ def test_validation():
         BloomFilter(25, m_bits=31)
     with pytest.raises(ValueError):
         BloomFilter(25, m_bits=16, n_hashes=0)
+
+
+def test_raw_format_interop_with_reference(tmp_path):
+    """store_raw must be BYTE-IDENTICAL to the reference BloomFilter's
+    storeFilter (BloomFilter.hpp:260-264) for the same canonical k-mer
+    inserts at power-of-two m: compile a tiny driver against the vendored
+    header, insert the same k-mers on both sides, diff the files."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("g++"):
+        pytest.skip("g++ unavailable")
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    m_bits, n_hashes = 14, 3
+    kmers = [bytes(rng.choice(alphabet, size=K)) for _ in range(200)]
+    src = tmp_path / "bf_driver.cpp"
+    src.write_text(
+        '#include "BloomFilter.hpp"\n'
+        "#include <fstream>\n#include <string>\n"
+        "int main(int argc, char** argv) {\n"
+        f"  BloomFilter bf((size_t)1 << {m_bits}, {n_hashes}, {K});\n"
+        "  std::ifstream in(argv[1]);\n  std::string s;\n"
+        "  while (std::getline(in, s)) bf.insert(s.c_str());\n"
+        "  bf.storeFilter(argv[2]);\n  return 0;\n}\n"
+    )
+    exe = tmp_path / "bf_driver"
+    r = subprocess.run(
+        ["g++", "-O2", "-I/root/reference/vendor/ntHash",
+         "-I/root/reference/vendor/ntHash/lib", "-o", str(exe), str(src)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"reference BloomFilter does not compile: {r.stderr.decode()[:200]}")
+    kfile = tmp_path / "kmers.txt"
+    kfile.write_bytes(b"\n".join(kmers) + b"\n")
+    ref_out = tmp_path / "ref.bf"
+    subprocess.run([str(exe), str(kfile), str(ref_out)], check=True)
+
+    bf = BloomFilter(K, m_bits=m_bits, n_hashes=n_hashes)
+    for b in _batches(kmers):  # len-K records: exactly one window each
+        bf.insert_batch(b, STRIDE)
+    ours = tmp_path / "ours.bf"
+    bf.store_raw(str(ours))
+    assert ours.read_bytes() == ref_out.read_bytes()
+    # and the loader inverts it
+    bf2 = BloomFilter.load_raw(str(ours), K, m_bits, n_hashes)
+    np.testing.assert_array_equal(np.asarray(bf2.slots), np.asarray(bf.slots))

@@ -273,4 +273,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    _rc = main()
+    # skip interpreter/jax-client teardown (measured ~0.25 s of exit
+    # cost after the outputs are already written and flushed; nothing
+    # is in flight — finalize fetched every result). NTCARD_FAST_EXIT=0
+    # restores the normal exit for debugging/atexit hooks.
+    import os as _o
+    import sys as _s
+    if _o.environ.get("NTCARD_FAST_EXIT", "1") != "0":
+        _s.stdout.flush()
+        _s.stderr.flush()
+        _o._exit(_rc)
+    raise SystemExit(_rc)

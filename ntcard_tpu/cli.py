@@ -18,6 +18,10 @@ from typing import List, Optional
 
 PROGRAM = "ntCard"
 
+# cleared by multihost runs: os._exit would kill the jax.distributed
+# coordinator while peer processes still poll it (fatal on their side)
+_FAST_EXIT_OK = True
+
 VERSION_MESSAGE = (
     "ntCard-TPU 1.0.0 (capability parity with ntCard 1.2.2)\n"
     "A TPU-native k-mer cardinality estimation framework.\n"
@@ -541,6 +545,10 @@ def _main_device_legacy(opt, in_files, total_size, s_time) -> int:
     )
 
     if n_procs > 1:
+        global _FAST_EXIT_OK
+        _FAST_EXIT_OK = False
+
+    if n_procs > 1:
         sizes = [input_size(f) for f in in_files]
         in_files = host_file_assignment(in_files, sizes, n_procs, proc_id)
 
@@ -747,7 +755,7 @@ if __name__ == "__main__":
     # restores the normal exit for debugging/atexit hooks.
     import os as _o
     import sys as _s
-    if _o.environ.get("NTCARD_FAST_EXIT", "1") != "0":
+    if _FAST_EXIT_OK and _o.environ.get("NTCARD_FAST_EXIT", "1") != "0":
         _s.stdout.flush()
         _s.stderr.flush()
         _o._exit(_rc)

@@ -11,6 +11,8 @@ from typing import List, Optional
 
 PROGRAM = "nthll"
 
+_FAST_EXIT_OK = True  # cleared by multihost runs (see cli.py)
+
 VERSION_MESSAGE = (
     "nthll-TPU 1.0.0 (capability parity with nthll 1.2.2)\n"
     "A TPU-native HyperLogLog distinct k-mer estimator.\n"
@@ -155,6 +157,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     # — nthll's thread-private-sketch pattern (nthll.cpp:218-245) lifted
     # across hosts.
     proc_id, n_procs = initialize_distributed()
+    if n_procs > 1:
+        global _FAST_EXIT_OK
+        _FAST_EXIT_OK = False
 
     in_files = expand_file_args(args)
     if n_procs > 1:
@@ -280,7 +285,7 @@ if __name__ == "__main__":
     # restores the normal exit for debugging/atexit hooks.
     import os as _o
     import sys as _s
-    if _o.environ.get("NTCARD_FAST_EXIT", "1") != "0":
+    if _FAST_EXIT_OK and _o.environ.get("NTCARD_FAST_EXIT", "1") != "0":
         _s.stdout.flush()
         _s.stderr.flush()
         _o._exit(_rc)

@@ -253,13 +253,65 @@ def _use_host_engine(opt, total_size: int) -> bool:
     return host_engine_available()
 
 
+def _select_wire(rows_ps: int, chunk_len: int, stride: int):
+    """H2D wire-format selection, shared by BOTH device paths (they must
+    stay bit-exact twins): the 2-bit quad/quad2 wire when the (per-shard)
+    geometry admits it, nibble otherwise; NTCARD_WIRE opts down. Returns
+    (wire_fmt, use_quad, halo, n_super)."""
+    import os
+
+    from ntcard_tpu.io.packing import quad2_ok, quad_ok
+
+    wire_env = os.environ.get("NTCARD_WIRE", "quad2")
+    if wire_env == "quad2" and quad2_ok(rows_ps, stride):
+        wire_fmt = "quad2"
+    elif wire_env in ("quad", "quad2") and quad_ok(rows_ps, chunk_len):
+        wire_fmt = "quad"
+    else:
+        wire_fmt = True
+    return (
+        wire_fmt,
+        wire_fmt in ("quad", "quad2"),
+        chunk_len - stride,
+        int(os.environ.get("NTCARD_SUPERBATCH", "1")),
+    )
+
+
+def _estimate_and_write(opt, state, metrics, stats, sketch, s_time, write_ok=True) -> int:
+    """Estimate + output + metrics epilogue shared by every engine path."""
+    from ntcard_tpu.models.estimate import comp_est_hist
+    from ntcard_tpu.output import write_compact, write_default
+
+    ks = opt.k_list
+    results = {}
+    with metrics.phase("estimate"):
+        for k in ks:
+            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
+            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
+    with metrics.phase("output"):
+        # multi-host: every process derives the identical merged state, but
+        # only process 0 writes (single-writer, like the reference's one node)
+        if write_ok:
+            if not opt.output:
+                write_default(opt.prefix, ks, results, opt.cov_max)
+            else:
+                write_compact(opt.output, ks, results, opt.cov_max)
+    metrics.add("reads", stats.get("records", 0))
+    metrics.add("bases", stats.get("bases", 0))
+    # compaction-overflow replays (repeat-heavy content; models/sketch.py
+    # deferred-replay contract) — nonzero is normal on genomes with long
+    # low-complexity runs, and worth seeing in perf investigations
+    metrics.add("overflow_replays", getattr(sketch, "replays", 0))
+    metrics.report()
+    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
+    return 0
+
+
 def _main_host(opt, in_files, s_time) -> int:
     """Host-engine run: same outputs, no device/jax involvement at all (the
     import alone costs ~0.7 s — material next to a sub-second job)."""
     from ntcard_tpu.io.packing import aligned_stride
-    from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.host_engine import HostCountTableSketch
-    from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.pipeline import (
         default_geometry,
         parallel_batches_from_files,
@@ -298,25 +350,11 @@ def _main_host(opt, in_files, s_time) -> int:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):
         state = sketch.finalize(cov_max=opt.cov_max)
-    results = {}
-    with metrics.phase("estimate"):
-        for k in ks:
-            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
-            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
-    with metrics.phase("output"):
-        if not opt.output:
-            write_default(opt.prefix, ks, results, opt.cov_max)
-        else:
-            write_compact(opt.output, ks, results, opt.cov_max)
-    metrics.add("reads", stats.get("records", 0))
-    metrics.add("bases", stats.get("bases", 0))
     metrics.tag("engine", "host")
-    metrics.report()
-    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
-    return 0
+    return _estimate_and_write(opt, state, metrics, stats, sketch, s_time)
 
 
-def _fast_device_ok(opt) -> bool:
+def _fast_device_ok(opt, in_files) -> bool:
     """Eligibility for the startup-overlapped single-device path
     (_main_device_fast): single host, one (or auto-detect) device, plain
     wire engines. CPU platforms keep the legacy path (the overlap only
@@ -334,6 +372,12 @@ def _fast_device_ok(opt) -> bool:
         return False  # hybrid work-stealing lives in the legacy path
     eager = os.environ.get("NTCARD_EAGER")
     if eager == "0":
+        return False
+    if opt.devices == 0 and not all(os.path.isfile(f) for f in in_files):
+        # auto device-count detection may fall back to the legacy path by
+        # RE-READING the inputs after the eager feed consumed a prefix —
+        # fine for regular files (re-open), data LOSS for pipes/FIFOs.
+        # With --devices 1 there is no fallback, so pipes are fine there.
         return False
     plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
     return eager == "1" or plat not in ("", "cpu")
@@ -361,8 +405,6 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
         quad_ok,
         wire_mode_of,
     )
-    from ntcard_tpu.models.estimate import comp_est_hist
-    from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.pipeline import (
         default_geometry,
         device_prefetch,
@@ -379,16 +421,7 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
     batch_rows = opt.batch_rows
     stride = aligned_stride(chunk_len, kmax)
     gap_positions = _gap_positions(opt)
-    wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
-    if wire_env == "quad2" and quad2_ok(batch_rows, stride):
-        wire_fmt = "quad2"
-    elif wire_env in ("quad", "quad2") and quad_ok(batch_rows, chunk_len):
-        wire_fmt = "quad"
-    else:
-        wire_fmt = True
-    use_quad = wire_fmt in ("quad", "quad2")
-    halo = chunk_len - stride
-    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1"))
+    wire_fmt, use_quad, halo, n_super = _select_wire(batch_rows, chunk_len, stride)
 
     boot: dict = {}
     boot_err: list = []
@@ -445,19 +478,26 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
 
     metrics.start_profile()
     warmed = False
-    with metrics.phase("pipeline"):
-        for batch in feed:
-            with metrics.phase("pipeline.dispatch"):
-                wire0 = batch if batch.ndim == 2 else batch[0]
-                sketch.update(
-                    batch,
-                    packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
-                )
-            if not warmed:
-                # load the finalize executables in the background while the
-                # dispatch loop runs (models/sketch.warm_finalize)
-                warmed = True
-                sketch.warm_finalize(opt.cov_max)
+    try:
+        with metrics.phase("pipeline"):
+            for batch in feed:
+                with metrics.phase("pipeline.dispatch"):
+                    wire0 = batch if batch.ndim == 2 else batch[0]
+                    sketch.update(
+                        batch,
+                        packed=wire_mode_of(wire0, batch_rows, halo) if use_quad else True,
+                    )
+                if not warmed:
+                    # load the finalize executables in the background while
+                    # the dispatch loop runs (models/sketch.warm_finalize)
+                    warmed = True
+                    sketch.warm_finalize(opt.cov_max)
+    except BaseException:
+        # stop the eager workers before propagating — an abandoned feed
+        # would keep decoding + device_put-ing the whole input underneath
+        # the error (library callers may live long after)
+        feed.close()
+        raise
     for name in ("decode", "pack", "h2d"):
         if name in stages:
             metrics.phases[f"pipeline.{name}"] = stages[name]
@@ -466,26 +506,10 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
     with metrics.phase("finalize"):
         state = sketch.finalize(cov_max=opt.cov_max)
     metrics.stop_profile()
-
-    results = {}
-    with metrics.phase("estimate"):
-        for k in ks:
-            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
-            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
-    with metrics.phase("output"):
-        if not opt.output:
-            write_default(opt.prefix, ks, results, opt.cov_max)
-        else:
-            write_compact(opt.output, ks, results, opt.cov_max)
-    metrics.add("reads", stats.get("records", 0))
-    metrics.add("bases", stats.get("bases", 0))
-    metrics.add("overflow_replays", getattr(sketch, "replays", 0))
     metrics.phases["boot.jax"] = round(boot.get("t_jax", 0.0), 4)
     metrics.phases["boot.ready"] = round(boot.get("t_ready", 0.0), 4)
     metrics.tag("engine", "device")
-    metrics.report()
-    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
-    return 0
+    return _estimate_and_write(opt, state, metrics, stats, sketch, s_time)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -505,7 +529,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if _use_host_engine(opt, total_size):
         return _main_host(opt, in_files, s_time)
-    if _fast_device_ok(opt):
+    if _fast_device_ok(opt, in_files):
         return _main_device_fast(opt, in_files, total_size, s_time)
     return _main_device_legacy(opt, in_files, total_size, s_time)
 
@@ -518,9 +542,7 @@ def _main_device_legacy(opt, in_files, total_size, s_time) -> int:
     import jax
 
     from ntcard_tpu.io.decompress import input_size
-    from ntcard_tpu.models.estimate import comp_est_hist
     from ntcard_tpu.models.sketch import ChainedCountTableSketch
-    from ntcard_tpu.output import write_compact, write_default
     from ntcard_tpu.parallel.data_parallel import make_sharded_sketch
     from ntcard_tpu.pipeline import (
         default_geometry,
@@ -591,23 +613,12 @@ def _main_device_legacy(opt, in_files, total_size, s_time) -> int:
     # judged on the per-shard geometry. NTCARD_WIRE=nibble opts out.
     import os as _os
 
-    from ntcard_tpu.io.packing import pack_shard_wires, quad2_ok, quad_ok, wire_mode_of
+    from ntcard_tpu.io.packing import pack_shard_wires, wire_mode_of
 
     sharded = n_procs == 1 and n_dev > 1
     rows_ps = batch_rows // n_dev if sharded else batch_rows  # rows per wire
     private_sketch = not sharded
-    wire_env = _os.environ.get("NTCARD_WIRE", "quad2")
-    if wire_env == "quad2" and quad2_ok(rows_ps, stride):
-        wire_fmt = "quad2"
-    elif wire_env in ("quad", "quad2") and quad_ok(rows_ps, chunk_len):
-        wire_fmt = "quad"
-    else:
-        wire_fmt = True
-    use_quad = wire_fmt in ("quad", "quad2")
-    halo = chunk_len - stride
-    # NTCARD_SUPERBATCH=n: fold n wire batches per dispatch with an on-device
-    # scan (one put + one dispatch amortize per-call fixed costs)
-    n_super = int(_os.environ.get("NTCARD_SUPERBATCH", "1"))
+    wire_fmt, use_quad, halo, n_super = _select_wire(rows_ps, chunk_len, stride)
 
     # NTCARD_ENGINE=hybrid: work-steal the raw batch stream between the
     # native host engine and the device pipeline (pipeline.hybrid_feed) and
@@ -720,31 +731,9 @@ def _main_device_legacy(opt, in_files, total_size, s_time) -> int:
         else:
             state = sketch.finalize(cov_max=opt.cov_max)
     metrics.stop_profile()
-
-    results = {}
-    with metrics.phase("estimate"):
-        for k in ks:
-            f0, f = comp_est_hist(state[k]["hist"], opt.s_bits, opt.r_bits, opt.cov_max)
-            results[k] = {"f1": state[k]["f1"], "f0": f0, "f": f}
-
-    with metrics.phase("output"):
-        # multi-host: every process derives the identical merged state, but
-        # only process 0 writes (single-writer, like the reference's one node)
-        if proc_id == 0:
-            if not opt.output:
-                write_default(opt.prefix, ks, results, opt.cov_max)
-            else:
-                write_compact(opt.output, ks, results, opt.cov_max)
-
-    metrics.add("reads", stats.get("records", 0))
-    metrics.add("bases", stats.get("bases", 0))
-    # compaction-overflow replays (repeat-heavy content; models/sketch.py
-    # deferred-replay contract) — nonzero is normal on genomes with long
-    # low-complexity runs, and worth seeing in perf investigations
-    metrics.add("overflow_replays", getattr(sketch, "replays", 0))
-    metrics.report()
-    sys.stderr.write(f"Runtime(sec): {time.monotonic() - s_time:.4f}\n")
-    return 0
+    return _estimate_and_write(
+        opt, state, metrics, stats, sketch, s_time, write_ok=proc_id == 0
+    )
 
 
 if __name__ == "__main__":

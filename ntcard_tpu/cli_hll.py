@@ -104,12 +104,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stderr.write(f"Try `{PROGRAM} --help' for more information.\n")
         return 1
 
-    # Engine selection (mirrors cli._use_host_engine): on accelerator
-    # platforms, small inputs route to the native host engine — for nthll
-    # the device compute (a 64 KB register max-merge) is so cheap that the
-    # H2D transfer alone exceeds the host engine's total time, so the
-    # default threshold is higher than ntcard's (tunable via
-    # NTCARD_HLL_HOST_MAX_BYTES).
+    # Engine selection (mirrors cli._use_host_engine's cost model): on
+    # accelerator platforms, jobs whose estimated host wall beats the
+    # device fixed-cost floor route to the native host engine — for nthll
+    # the device compute (a 64 KB register max-merge) is so cheap that
+    # transfer + startup dominate far longer than for ntcard. Setting
+    # NTCARD_HLL_HOST_MAX_BYTES makes that byte threshold the sole
+    # authority instead (e.g. =0 forces the device engine).
     import os as _os
 
     eng = _os.environ.get("NTCARD_ENGINE", "auto")
@@ -122,14 +123,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             from ntcard_tpu.models.host_engine import host_engine_available
 
             total = sum(_isize(f) for f in _expand(args))
-            thresh = int(_os.environ.get("NTCARD_HLL_HOST_MAX_BYTES", 256 << 20))
-            # same cost model as cli._use_host_engine: host unless the
-            # estimated host-only wall exceeds the device fixed-cost floor
-            host_rate = float(_os.environ.get("NTCARD_HOST_RATE_BPS", 0.8e9))
-            floor = float(_os.environ.get("NTCARD_DEVICE_FLOOR_SEC", 4.0))
-            use_host = (
-                total < thresh or total / host_rate < floor
-            ) and host_engine_available()
+            thresh_env = _os.environ.get("NTCARD_HLL_HOST_MAX_BYTES")
+            if thresh_env is not None:
+                # explicit byte threshold: sole authority (lets tests and
+                # deployments force the device engine at any size)
+                use_host = total < int(thresh_env)
+            else:
+                # cli._use_host_engine's cost model: host unless the
+                # estimated host-only wall exceeds the device fixed floor
+                host_rate = float(_os.environ.get("NTCARD_HOST_RATE_BPS", 0.8e9))
+                floor = float(_os.environ.get("NTCARD_DEVICE_FLOOR_SEC", 4.0))
+                use_host = total / host_rate < floor
+            use_host = use_host and host_engine_available()
     if use_host:
         return _main_host(args, km_len, n_bits, n_thrd)
 

@@ -388,12 +388,10 @@ def _hist_row_device_sparse(row, nbins, interp):
     )
 
 
-@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
-def _hists_all_sparse(tables, r_buck, nbins, interp):
-    """Every (k, sample) row's sparse hist in ONE program and ONE fetched
-    array — [2nK, nbins + 1] with the row's nonzero count in the last
-    column — instead of six dispatches and two fetches (each dispatch /
-    fetch pays ~90 ms of tunnel RPC latency)."""
+def _sparse_hist_rows(tables, r_buck, nbins, interp):
+    """Traced helper shared by _hists_all_sparse and _finalize_bundle: every
+    (k, sample) row's sparse counter hist with its nonzero count appended —
+    list of 2nK [nbins + 1] int32 vectors."""
     rows = []
     for t in tables:
         for s in range(2):
@@ -401,7 +399,16 @@ def _hists_all_sparse(tables, r_buck, nbins, interp):
                 jax.lax.dynamic_slice(t, (s * r_buck,), (r_buck,)), nbins, interp
             )
             rows.append(jnp.concatenate([h, c[None]]))
-    return jnp.stack(rows)
+    return rows
+
+
+@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
+def _hists_all_sparse(tables, r_buck, nbins, interp):
+    """Every (k, sample) row's sparse hist in ONE program and ONE fetched
+    array — [2nK, nbins + 1] with the row's nonzero count in the last
+    column — instead of six dispatches and two fetches (each dispatch /
+    fetch pays ~90 ms of tunnel RPC latency)."""
+    return jnp.stack(_sparse_hist_rows(tables, r_buck, nbins, interp))
 
 
 @partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
@@ -412,15 +419,9 @@ def _finalize_bundle(tables, f1s, ocount, r_buck, nbins, interp):
     plus a trailer row carrying [overflow count, F1 (hi, lo) words...].
     On the tunneled runtime each D2H fetch costs ~90 ms of RPC latency;
     the unfused finalize paid three (hists, overflow count, f1s).
-    NOT donating: the warm-loading path (CountTableSketch.warm) runs this
-    on the live zero tables before any update."""
-    rows = []
-    for t in tables:
-        for s in range(2):
-            h, c = _hist_row_sparse_parts(
-                jax.lax.dynamic_slice(t, (s * r_buck,), (r_buck,)), nbins, interp
-            )
-            rows.append(jnp.concatenate([h, c[None]]))
+    NOT donating: the warm-loading path (warm_finalize) runs this on the
+    live zero tables before any update."""
+    rows = _sparse_hist_rows(tables, r_buck, nbins, interp)
     f1_words = jax.lax.bitcast_convert_type(f1s.reshape(-1), jnp.int32)
     trailer = jnp.zeros((nbins + 1,), jnp.int32)
     trailer = trailer.at[0].set(ocount.astype(jnp.int32))
@@ -613,16 +614,19 @@ class ChainedCountTableSketch:
     def warm_finalize(self, cov_max: int = 65535) -> list:
         """Pre-load the finalize executables (CountTableSketch.warm_finalize)
         — one load serves every chain (identical program signatures). With
-        >1 chain the finalize-time merge program is warmed too (its donated
-        dummy operands are small by construction: the chain budget collapses
-        GiB-scale configs to one chain)."""
+        >1 chain the finalize-time merge program is warmed too, but ONLY
+        when its dummy operands are cheap: at 2-chain boundary configs
+        (e.g. single-k rBits=27, ~1.07 GiB/table) the two extra table sets
+        would be a multi-GiB transient HBM spike racing the live update
+        allocations — there, finalize just pays the one-time load."""
         threads = self._chains[0].warm_finalize(cov_max=cov_max)
-        if len(self._chains) > 1:
+        nk = len(self.ks)
+        table_bytes = 2 * nk * (2 * self.r_buck + 1) * 4  # both dummy sets
+        if len(self._chains) > 1 and table_bytes <= (256 << 20):
             import threading
 
             def _w_merge():
                 try:
-                    nk = len(self.ks)
                     a = _make_tables(nk, 2 * self.r_buck + 1)
                     b = _make_tables(nk, 2 * self.r_buck + 1)
                     _merge_add(a, b)

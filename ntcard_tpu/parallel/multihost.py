@@ -88,7 +88,6 @@ def _finalize_reduce_scatter(sketch, nbins: int):
     ever lands on a host or is replicated. Returns [nK, 2, nbins] int32."""
     from ntcard_tpu import _jax_config  # noqa: F401
     import jax
-    from ntcard_tpu import _jax_config  # noqa: F401
     import jax.numpy as jnp
     import numpy as np
     from functools import partial
@@ -187,7 +186,6 @@ def merged_finalize(sketch, cov_max: int = 65535):
     if not use_host:
         hists = _finalize_reduce_scatter(sketch, nbins)
     else:
-        from ntcard_tpu import _jax_config  # noqa: F401
         import jax.numpy as jnp
 
         from ntcard_tpu.models.sketch import _counter_hists

@@ -443,6 +443,12 @@ class EagerPrefetch:
             raise StopIteration
         return item
 
+    def __del__(self):
+        # a feed abandoned without close() (consumer error path, GC'd
+        # library use) must not keep decoding/transferring the whole input
+        # on its daemon worker; no join here (GC context)
+        self._stop.set()
+
     def close(self) -> None:
         """Abandon the stream: stop the worker and drop queued items."""
         self._stop.set()

@@ -7,6 +7,11 @@ Modes:
               statistical role of nttest's Bloom-filter FPR sweep)
   bloom       Bloom-filter insert/query FPR over the NTM64 multi-hash
               derivation (nttest.cpp:443-494 analog; CPU-safe)
+  race        hash runtime race on identical reads — ntHash (device kernel
+              + native host engine) vs murmur2-64A / XXH64 / FNV-1a 64
+              competitors, per-method Mbases/s (nttest.cpp:496-550 analog;
+              murmur and xxh verified bit-identical to the reference's
+              vendored implementations)
   e2e         end-to-end file pipeline reads/s + Gbp/s
   hostpack    native decode+pack throughput (no device)
 
@@ -254,6 +259,54 @@ def _murmur64a(windows: np.ndarray) -> np.ndarray:
     return h
 
 
+def _xxh64(windows: np.ndarray) -> np.ndarray:
+    """XXH64 (seed 0) over [N, k] byte windows (k % 8 == 0), vectorized
+    across N — semantics of the reference's vendored comparison hash
+    (vendor/ntHash/lib/xxhash.c), reimplemented for the runtime race and
+    verified against a compiled build of the original
+    (tests/test_bench_race.py)."""
+    n, k = windows.shape
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    chunks = np.ascontiguousarray(windows).view("<u8").reshape(n, k // 8)
+    i = 0
+    if k >= 32:
+        v = [
+            np.full(n, P1 + P2, np.uint64),
+            np.full(n, P2, np.uint64),
+            np.zeros(n, np.uint64),
+            np.full(n, np.uint64(0) - P1, np.uint64),
+        ]
+        while i + 4 <= k // 8:
+            for lane in range(4):
+                v[lane] = rotl(v[lane] + chunks[:, i + lane] * P2, 31) * P1
+            i += 4
+        h = rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)
+        for lane in range(4):
+            h ^= rotl(v[lane] * P2, 31) * P1
+            h = h * P1 + P4
+    else:
+        h = np.full(n, P5, np.uint64)
+    h += np.uint64(k)
+    while i < k // 8:  # 8-byte tail chunks (k % 32 != 0)
+        h ^= rotl(chunks[:, i] * P2, 31) * P1
+        h = rotl(h, 27) * P1 + P4
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def _fnv1a64(windows: np.ndarray) -> np.ndarray:
     """FNV-1a 64 over [N, k] byte windows, vectorized across N (a second
     widely-used comparison hash for the race; per-byte like CityHash's
@@ -291,7 +344,7 @@ def bench_race():
     from numpy.lib.stride_tricks import sliding_window_view
 
     wins = sliding_window_view(reads, k, axis=1).reshape(-1, k)
-    for name, fn in [("murmur64a", _murmur64a), ("fnv1a64", _fnv1a64)]:
+    for name, fn in [("murmur64a", _murmur64a), ("xxh64", _xxh64), ("fnv1a64", _fnv1a64)]:
         fn(wins[:1024])  # warm
         t0 = time.perf_counter()
         h = fn(wins)

@@ -52,3 +52,37 @@ def test_murmur64a_matches_reference(tmp_path):
     wins = np.stack([np.frombuffer(k, np.uint8) for k in kmers])
     got = [int(v) for v in _murmur64a(wins)]
     assert got == want
+
+
+def test_xxh64_matches_reference(tmp_path):
+    if not shutil.which("g++"):
+        pytest.skip("g++ unavailable")
+    from ntcard_tpu.bench.__main__ import _xxh64
+
+    src = tmp_path / "xx.c"
+    src.write_text(
+        '#include "xxhash.h"\n#include <stdio.h>\n#include <string.h>\n'
+        "int main(int argc, char** argv) {\n"
+        "  for (int i = 1; i < argc; i++)\n"
+        '    printf("%llu\\n", (unsigned long long)XXH64(argv[i], strlen(argv[i]), 0));\n'
+        "  return 0;\n}\n"
+    )
+    exe = tmp_path / "xx"
+    r = subprocess.run(
+        ["gcc", "-O2", "-I/root/reference/vendor/ntHash/lib", "-o", str(exe),
+         str(src), "/root/reference/vendor/ntHash/lib/xxhash.c"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"reference xxhash does not compile: {r.stderr.decode()[:200]}")
+    rng = np.random.default_rng(6)
+    # k=64 (4-lane path, no tail) and k=40 (lanes + 8-byte tail chunks)
+    for k in (64, 40):
+        kmers = [bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=k)) for _ in range(16)]
+        out = subprocess.run(
+            [str(exe)] + [s.decode() for s in kmers], capture_output=True, check=True
+        )
+        want = [int(x) for x in out.stdout.split()]
+        wins = np.stack([np.frombuffer(s, np.uint8) for s in kmers])
+        got = [int(v) for v in _xxh64(wins)]
+        assert got == want, f"k={k}"

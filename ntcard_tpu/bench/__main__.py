@@ -279,10 +279,10 @@ def _xxh64(windows: np.ndarray) -> np.ndarray:
     i = 0
     if k >= 32:
         v = [
-            np.full(n, P1 + P2, np.uint64),
-            np.full(n, P2, np.uint64),
+            np.full(n, np.uint64((int(P1) + int(P2)) & 0xFFFFFFFFFFFFFFFF)),
+            np.full(n, P2),
             np.zeros(n, np.uint64),
-            np.full(n, np.uint64(0) - P1, np.uint64),
+            np.full(n, np.uint64((-int(P1)) & 0xFFFFFFFFFFFFFFFF)),
         ]
         while i + 4 <= k // 8:
             for lane in range(4):

@@ -8,10 +8,10 @@ Modes:
   bloom       Bloom-filter insert/query FPR over the NTM64 multi-hash
               derivation (nttest.cpp:443-494 analog; CPU-safe)
   race        hash runtime race on identical reads — ntHash (device kernel
-              + native host engine) vs murmur2-64A / XXH64 / FNV-1a 64
-              competitors, per-method Mbases/s (nttest.cpp:496-550 analog;
-              murmur and xxh verified bit-identical to the reference's
-              vendored implementations)
+              + native host engine) vs CityHash64 / murmur2-64A / XXH64 /
+              FNV-1a 64 competitors, per-method Mbases/s (nttest.cpp:496-550
+              analog, full method set; city, murmur and xxh verified
+              bit-identical to the reference's vendored implementations)
   e2e         end-to-end file pipeline reads/s + Gbp/s
   hostpack    native decode+pack throughput (no device)
 
@@ -307,6 +307,122 @@ def _xxh64(windows: np.ndarray) -> np.ndarray:
     return h
 
 
+def _city64(windows: np.ndarray) -> np.ndarray:
+    """CityHash64 over [N, k] byte windows (any k >= 1), vectorized across
+    N — semantics of the reference's vendored comparison hash
+    (vendor/ntHash/lib/city.cc:200-236 and its helpers), reimplemented for
+    the runtime race and verified against a compiled build of the original
+    across every length branch (tests/test_bench_race.py). All arithmetic
+    is numpy uint64 arrays, which wrap mod 2^64 like C."""
+    n, k = windows.shape
+    b = np.ascontiguousarray(windows)
+    K0 = np.uint64(0xC3A5C85C97CB3127)
+    K1 = np.uint64(0xB492B66FBE98F273)
+    K2 = np.uint64(0x9AE16A3B2F90404F)
+    K3 = np.uint64(0xC949D7C7509E6557)
+    KMUL = np.uint64(0x9DDFEA08EB382D69)
+
+    u64v = b.view("<u8") if k % 8 == 0 else None  # zero-copy aligned fetches
+
+    def f64(off: int) -> np.ndarray:  # little-endian Fetch64 at byte offset
+        if u64v is not None and off % 8 == 0:
+            return u64v[:, off // 8]
+        return b[:, off : off + 8].copy().view("<u8").ravel()
+
+    def f32(off: int) -> np.ndarray:
+        return b[:, off : off + 4].copy().view("<u4").ravel().astype(np.uint64)
+
+    def rot(v: np.ndarray, s: int) -> np.ndarray:  # Rotate (right), s may be 0
+        if s == 0:
+            return v
+        return (v >> np.uint64(s)) | (v << np.uint64(64 - s))
+
+    def smix(v: np.ndarray) -> np.ndarray:
+        return v ^ (v >> np.uint64(47))
+
+    def h16(u: np.ndarray, v: np.ndarray) -> np.ndarray:  # HashLen16/Hash128to64
+        a = (u ^ v) * KMUL
+        a ^= a >> np.uint64(47)
+        c = (v ^ a) * KMUL
+        c ^= c >> np.uint64(47)
+        return c * KMUL
+
+    kk = np.uint64(k)
+    if k <= 16:  # HashLen0to16 (city.cc:120-139)
+        if k > 8:
+            a = f64(0)
+            t = f64(k - 8)
+            return h16(a, rot(t + kk, k % 64)) ^ t  # RotateByAtLeast1(b+len, len)
+        if k >= 4:
+            a = f32(0)
+            return h16(kk + (a << np.uint64(3)), f32(k - 4))
+        a = b[:, 0].astype(np.uint64)
+        c = b[:, k >> 1].astype(np.uint64)
+        d = b[:, k - 1].astype(np.uint64)
+        y = a + (c << np.uint64(8))
+        z = kk + (d << np.uint64(2))
+        return smix(y * K2 ^ z * K3) * K2
+    if k <= 32:  # HashLen17to32 (city.cc:143-151)
+        a = f64(0) * K1
+        t = f64(8)
+        c = f64(k - 8) * K2
+        d = f64(k - 16) * K0
+        return h16(rot(a - t, 43) + rot(c, 30) + d, a + rot(t ^ K3, 20) - c + kk)
+    if k <= 64:  # HashLen33to64 (city.cc:177-197)
+        z = f64(24)
+        a = f64(0) + (kk + f64(k - 16)) * K0
+        t = rot(a + z, 52)
+        c = rot(a, 37)
+        a = a + f64(8)
+        c = c + rot(a, 7)
+        a = a + f64(16)
+        vf = a + z
+        vs = t + rot(a, 31) + c
+        a = f64(16) + f64(k - 32)
+        z = f64(k - 8)
+        t = rot(a + z, 52)
+        c = rot(a, 37)
+        a = a + f64(k - 24)
+        c = c + rot(a, 7)
+        a = a + f64(k - 16)
+        wf = a + z
+        ws = t + rot(a, 31) + c
+        r = smix((vf + ws) * K2 + (wf + vs) * K0)
+        return smix(r * K0 + vs) * K2
+
+    # k > 64: hash the end, then 56 bytes of state over 64-byte chunks
+    # (city.cc:210-236); WeakHashLen32WithSeeds inlined (city.cc:154-175)
+    def weak32(off: int, a: np.ndarray, t: np.ndarray):
+        w, x, y, z = f64(off), f64(off + 8), f64(off + 16), f64(off + 24)
+        a = a + w
+        t = rot(t + a + z, 21)
+        c = a
+        a = a + x + y
+        t = t + rot(a, 44)
+        return a + z, t + c
+
+    x = f64(k - 40)
+    y = f64(k - 16) + f64(k - 56)
+    z = h16(f64(k - 48) + kk, f64(k - 24))
+    v1, v2 = weak32(k - 64, np.full(n, kk), z)
+    w1, w2 = weak32(k - 32, y + K1, x)
+    x = x * K1 + f64(0)
+    rem = (k - 1) & ~63
+    s = 0
+    while rem:
+        x = rot(x + y + v1 + f64(s + 8), 37) * K1
+        y = rot(y + v2 + f64(s + 48), 42) * K1
+        x = x ^ w2
+        y = y + v1 + f64(s + 40)
+        z = rot(z + w1, 33) * K1
+        v1, v2 = weak32(s, v2 * K1, x + w1)
+        w1, w2 = weak32(s + 32, z + w2, y + f64(s + 16))
+        z, x = x, z
+        s += 64
+        rem -= 64
+    return h16(h16(v1, w1) + smix(y) * K1 + z, h16(v2, w2) + x)
+
+
 def _fnv1a64(windows: np.ndarray) -> np.ndarray:
     """FNV-1a 64 over [N, k] byte windows, vectorized across N (a second
     widely-used comparison hash for the race; per-byte like CityHash's
@@ -325,11 +441,15 @@ def bench_race():
     'runtime' mode analog (nttest.cpp:496-550 races ntbase/nthash against
     city/murmur/xxhash CPU implementations; the vendored comparison libs
     are not ported, so the competitors here are vectorized numpy
-    reimplementations of murmur2-64A and FNV-1a 64). Reported as Mbases/s
-    over the same input for every method:
+    reimplementations of CityHash64, murmur2-64A, XXH64 and FNV-1a 64 —
+    the city/murmur/xxh ones verified bit-identical to compiled builds of
+    the vendored originals). Reported as Mbases/s over the same input for
+    every method:
       nthash-device  the fused canonical-hash kernel (chained, drained)
       nthash-host    the native AVX-512 host engine (hash+sample+count)
+      city64         numpy-vectorized per-window competitor
       murmur64a      numpy-vectorized per-window competitor
+      xxh64          numpy-vectorized per-window competitor
       fnv1a64        numpy-vectorized per-window competitor"""
     from ntcard_tpu.constants import ASCII_TO_CODE
 
@@ -344,7 +464,12 @@ def bench_race():
     from numpy.lib.stride_tricks import sliding_window_view
 
     wins = sliding_window_view(reads, k, axis=1).reshape(-1, k)
-    for name, fn in [("murmur64a", _murmur64a), ("xxh64", _xxh64), ("fnv1a64", _fnv1a64)]:
+    for name, fn in [
+        ("city64", _city64),
+        ("murmur64a", _murmur64a),
+        ("xxh64", _xxh64),
+        ("fnv1a64", _fnv1a64),
+    ]:
         fn(wins[:1024])  # warm
         t0 = time.perf_counter()
         h = fn(wins)

@@ -54,6 +54,41 @@ def test_murmur64a_matches_reference(tmp_path):
     assert got == want
 
 
+def test_city64_matches_reference(tmp_path):
+    if not shutil.which("g++"):
+        pytest.skip("g++ unavailable")
+    from ntcard_tpu.bench.__main__ import _city64
+
+    src = tmp_path / "ch.cpp"
+    src.write_text(
+        '#include "city.h"\n#include <cstdio>\n#include <cstring>\n'
+        "int main(int argc, char** argv) {\n"
+        "  for (int i = 1; i < argc; i++)\n"
+        '    printf("%llu\\n", (unsigned long long)CityHash64(argv[i], strlen(argv[i])));\n'
+        "  return 0;\n}\n"
+    )
+    exe = tmp_path / "ch"
+    r = subprocess.run(
+        ["g++", "-O2", "-I/root/reference/vendor/ntHash/lib", "-o", str(exe),
+         str(src), "/root/reference/vendor/ntHash/lib/city.cc"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"reference city does not compile: {r.stderr.decode()[:200]}")
+    rng = np.random.default_rng(11)
+    # one k per branch: 1-3 (byte path), 4-8 (u32), 9-16 (u64 pair),
+    # 17-32, 33-64, then >64 with 1 and 2+tail 64-byte loop iterations
+    for k in (3, 7, 12, 20, 33, 50, 64, 65, 100, 128, 200):
+        kmers = [bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=k)) for _ in range(16)]
+        out = subprocess.run(
+            [str(exe)] + [s.decode() for s in kmers], capture_output=True, check=True
+        )
+        want = [int(x) for x in out.stdout.split()]
+        wins = np.stack([np.frombuffer(s, np.uint8) for s in kmers])
+        got = [int(v) for v in _city64(wins)]
+        assert got == want, f"k={k}"
+
+
 def test_xxh64_matches_reference(tmp_path):
     if not shutil.which("g++"):
         pytest.skip("g++ unavailable")

@@ -626,6 +626,17 @@ def main() -> int:
         phases.update(r27)
     else:
         ours_rps, phases = measure_host_fallback(fq)
+        # no device this run: surface the persisted cross-run best warm r27
+        # device wall, labeled, so the capture still carries the last
+        # on-hardware head-to-head context instead of nothing
+        try:
+            best_cache = WORK / f"our27_wall_best_{N_READS}.json"
+            if best_cache.exists():
+                phases["r27_default_device_wall_best_observed_sec"] = json.loads(
+                    best_cache.read_text()
+                )["wall"]
+        except (OSError, ValueError, KeyError):
+            pass
     vs = (ours_rps / ref_rps) if ref_rps > 0 else 0.0
     print(
         json.dumps(

@@ -514,7 +514,22 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     s_time = time.monotonic()
-    opt, args = parse_args(sys.argv[1:] if argv is None else argv)
+    args_in = sys.argv[1:] if argv is None else argv
+
+    # NTCARD_DAEMON=1: route eligible jobs through the persistent
+    # device-runtime server (daemon.py) — repeat invocations skip the jax
+    # import + backend handshake + executable loads. Pure socket code; the
+    # lean-boot host path stays jax-free.
+    import os as _os
+
+    if _os.environ.get("NTCARD_DAEMON"):
+        from ntcard_tpu.daemon import maybe_run_via_daemon
+
+        rc = maybe_run_via_daemon("ntcard", args_in)
+        if rc is not None:
+            return rc
+
+    opt, args = parse_args(args_in)
 
     from ntcard_tpu.io.decompress import input_size
     from ntcard_tpu.io.readers import expand_file_args

@@ -11,6 +11,13 @@ from typing import List, Optional
 
 PROGRAM = "nthll"
 
+# getopt spec, shared with the daemon's eligibility probe (daemon.py):
+# -h/-c/--hash are accepted-and-ignored, matching the reference binary
+GETOPT_SPEC = (
+    "t:k:b:s:hc",
+    ["threads=", "kmer=", "bit=", "sit=", "hash=", "help", "version"],
+)
+
 _FAST_EXIT_OK = True  # cleared by multihost runs (see cli.py)
 
 VERSION_MESSAGE = (
@@ -63,13 +70,20 @@ def _main_host(args: List[str], km_len: int, n_bits: int, n_thrd: int = 1) -> in
 
 def main(argv: Optional[List[str]] = None) -> int:
     args_in = sys.argv[1:] if argv is None else argv
+
+    # NTCARD_DAEMON=1: persistent device-runtime server (see cli.py / daemon.py)
+    import os as _os
+
+    if _os.environ.get("NTCARD_DAEMON"):
+        from ntcard_tpu.daemon import maybe_run_via_daemon
+
+        rc = maybe_run_via_daemon("nthll", args_in)
+        if rc is not None:
+            return rc
+
     n_bits, km_len = 16, 64
     try:
-        optlist, args = getopt.gnu_getopt(
-            args_in,
-            "t:k:b:s:hc",
-            ["threads=", "kmer=", "bit=", "sit=", "hash=", "help", "version"],
-        )
+        optlist, args = getopt.gnu_getopt(args_in, *GETOPT_SPEC)
     except getopt.GetoptError as e:
         sys.stderr.write(f"{PROGRAM}: {e}\nTry `{PROGRAM} --help' for more information.\n")
         return 1

@@ -1,0 +1,344 @@
+"""Persistent device-runtime server ("warm pool") for the ntcard/nthll CLIs.
+
+Why this exists: on an accelerator runtime a cold CLI pays a serial startup
+chain before the first byte of real work — the jax import (~2 s of pure
+Python), the PJRT backend handshake (0.1 s good weather, 3-9 s through a
+congested tunnel), and one ~0.7-1.3 s executable-load RPC per jitted
+program even against a warm server compile cache (measured,
+docs/TPU_BACKEND_NOTES.md round-4 addenda). Genomics pipelines invoke
+ntcard once per sample, dozens to thousands of times; paying the device
+bootstrap per invocation is pure waste. The daemon holds ONE live backend
+client + the in-process jit program cache across invocations, so repeat
+runs pay only decode + H2D transfer + dispatch + finalize.
+
+This is the standard accelerator-serving pattern (persistent workers /
+model servers), not a benchmark device: results are byte-identical to cold
+runs because every job builds a fresh sketch over the same programs (the
+test suite drives ``cli.main`` repeatedly in one process already —
+tests/test_e2e_golden.py — which is exactly what the daemon does).
+
+The reference has no analog — its engine is a cold OpenMP binary
+(``/root/reference/ntcard.cpp:317-478``); amortizing device startup across
+jobs is a TPU-native design concern.
+
+Protocol (version 1, newline-delimited JSON over a unix socket):
+  client -> server   {"proto": 1, "argv": ["ntcard", ...], "cwd": str,
+                      "env": {NTCARD_* vars of the client}}
+  server -> client   {"exit": int, "out": str, "err": str}
+Output FILES are written by the daemon process directly (same machine,
+same cwd); stdout/stderr text is captured and relayed. One job at a time.
+
+Knobs:
+  NTCARD_DAEMON=1            CLIs route eligible jobs through the daemon,
+                             spawning it on first use (that first job runs
+                             in-process while the daemon boots in parallel)
+  NTCARD_DAEMON_SOCK=path    socket path [$XDG_RUNTIME_DIR or /tmp]
+  NTCARD_DAEMON_IDLE_SEC=n   server exits after n idle seconds [900]
+  NTCARD_DAEMON_CONNECT_SEC  client connect timeout before falling back
+                             to an in-process run [0.5]
+
+Not routed (silent in-process fallback): --help/--version/bad usage,
+multi-host jobs (they own a distributed runtime), non-regular-file inputs
+(a FIFO or /dev/fd process substitution is only readable inside the
+invoking process), and jobs forced onto the jax-free host engine.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import traceback
+
+PROTO = 1
+
+# exit codes the server uses for protocol-level failures (EX_SOFTWARE /
+# EX_PROTOCOL flavors; never returned for a job that actually ran)
+_EXIT_BAD_REQUEST = 70
+_EXIT_PROTO_MISMATCH = 71
+
+
+def default_sock_path() -> str:
+    p = os.environ.get("NTCARD_DAEMON_SOCK")
+    if p:
+        return p
+    base = os.environ.get("XDG_RUNTIME_DIR") or "/tmp"
+    return os.path.join(base, f"ntcard-daemon-{os.getuid()}.sock")
+
+
+def _recv_line(conn: socket.socket) -> bytes:
+    buf = bytearray()
+    while b"\n" not in buf:
+        chunk = conn.recv(1 << 16)
+        if not chunk:
+            break
+        buf += chunk
+    line, _, _ = bytes(buf).partition(b"\n")
+    return line
+
+
+# ---------------------------------------------------------------- server
+
+_job_lock = threading.Lock()
+
+
+def _run_job(argv: list, cwd: str, env: dict) -> tuple:
+    """Run one CLI job in-process: swap cwd + NTCARD_* env + stdio, call the
+    CLI main, restore everything. Returns (rc, stdout_text, stderr_text).
+
+    The env swap is scoped to NTCARD_* keys: engine/wire/kernel knobs are
+    read at call time throughout the package, so per-job values behave
+    exactly as they would in a fresh process. Platform-level vars
+    (JAX_PLATFORMS, XLA_FLAGS) are intentionally NOT swapped — the backend
+    client is already initialized and they could not take effect anyway
+    (documented client-side: such jobs are simply not routed)."""
+    old_cwd = os.getcwd()
+    touched = set(env) | {k for k in os.environ if k.startswith("NTCARD_")}
+    saved = {k: os.environ.get(k) for k in touched}
+    out_buf, err_buf = io.StringIO(), io.StringIO()
+    old_out, old_err = sys.stdout, sys.stderr
+    try:
+        os.chdir(cwd)
+        for k in touched:
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        # never recurse, never race the parent's exit shortcut
+        os.environ.pop("NTCARD_DAEMON", None)
+        os.environ.pop("NTCARD_FAST_EXIT", None)
+        sys.stdout, sys.stderr = out_buf, err_buf
+        prog = argv[0] if argv else "ntcard"
+        try:
+            if prog == "nthll":
+                from ntcard_tpu import cli_hll
+
+                rc = cli_hll.main(argv[1:])
+            else:
+                from ntcard_tpu import cli
+
+                rc = cli.main(argv[1:])
+        except SystemExit as e:
+            rc = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+        except BaseException:
+            traceback.print_exc(file=err_buf)
+            rc = 1
+    finally:
+        sys.stdout, sys.stderr = old_out, old_err
+        os.chdir(old_cwd)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return rc, out_buf.getvalue(), err_buf.getvalue()
+
+
+def _serve_one(conn: socket.socket) -> None:
+    try:
+        req = json.loads(_recv_line(conn) or b"{}")
+    except ValueError:
+        req = None
+    if not isinstance(req, dict) or not isinstance(req.get("argv"), list):
+        reply = {"exit": _EXIT_BAD_REQUEST, "out": "", "err": "ntcardd: bad request\n"}
+    elif req.get("proto") != PROTO:
+        reply = {"exit": _EXIT_PROTO_MISMATCH, "out": "", "err": ""}
+    else:
+        with _job_lock:
+            rc, out, err = _run_job(
+                req["argv"], req.get("cwd") or os.getcwd(), req.get("env") or {}
+            )
+        reply = {"exit": rc, "out": out, "err": err}
+    try:
+        conn.sendall(json.dumps(reply).encode() + b"\n")
+    except OSError:
+        pass  # client went away; the job's file outputs are on disk regardless
+
+
+def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
+    """Bind the socket and serve jobs until idle expiry. Single-instance per
+    socket path via an flock'd sidecar lockfile (released by the kernel on
+    process death, so a crashed daemon never wedges the path — the stale
+    socket file is unlinked by the next winner)."""
+    import fcntl
+
+    sock_path = sock_path or default_sock_path()
+    idle = float(
+        idle_sec
+        if idle_sec is not None
+        else os.environ.get("NTCARD_DAEMON_IDLE_SEC", "900")
+    )
+    lock_file = open(sock_path + ".lock", "w")
+    try:
+        fcntl.flock(lock_file, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        lock_file.close()
+        return 0  # a live daemon owns this socket path
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        os.unlink(sock_path)  # stale file from a dead daemon (we hold the lock)
+    except OSError:
+        pass
+    srv.bind(sock_path)
+    os.chmod(sock_path, 0o600)
+    # listen BEFORE booting the backend: clients that connect during the
+    # 2-6 s boot queue in the backlog instead of spawning duplicate daemons
+    srv.listen(8)
+    try:
+        from ntcard_tpu import _jax_config  # noqa: F401 (lazy axon registration)
+        import jax
+
+        jax.devices()  # pay the handshake once, here, not inside job 1
+    except Exception as e:
+        # no backend: a daemon would add IPC around pure host runs for
+        # nothing, and every routed job would fail identically
+        sys.stderr.write(f"ntcardd: backend init failed, exiting: {e}\n")
+        try:
+            os.unlink(sock_path)
+        except OSError:
+            pass
+        return 1
+    srv.settimeout(idle)
+    sys.stderr.write(f"ntcardd: serving on {sock_path}\n")
+    try:
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                return 0  # idle expiry
+            with conn:
+                _serve_one(conn)
+    finally:
+        try:
+            os.unlink(sock_path)
+        except OSError:
+            pass
+        srv.close()
+
+
+# ---------------------------------------------------------------- client
+
+
+def _spawn_daemon(sock_path: str) -> None:
+    """Start a detached daemon for this socket path (idempotent — a loser of
+    the flock race exits 0 immediately). Its log rides next to the socket."""
+    log_path = sock_path + ".log"
+    env = dict(os.environ)
+    env.pop("NTCARD_DAEMON", None)  # belt + braces; jobs also strip it
+    try:
+        with open(log_path, "ab") as log:
+            subprocess.Popen(
+                [sys.executable, "-m", "ntcard_tpu.daemon"],
+                stdin=subprocess.DEVNULL,
+                stdout=log,
+                stderr=log,
+                start_new_session=True,
+                env=env,
+            )
+    except OSError as e:
+        sys.stderr.write(f"ntcard: could not spawn daemon: {e}\n")
+
+
+def _job_eligible(prog: str, argv: list) -> bool:
+    """Route only jobs whose semantics are identical inside the daemon
+    process. Anything else runs in-process — silently, because falling back
+    is always correct, just colder."""
+    if os.environ.get("NTCARD_COORDINATOR") or os.environ.get("NTCARD_NUM_PROCESSES"):
+        return False  # multi-host runs own a distributed runtime
+    if os.environ.get("NTCARD_ENGINE") == "host":
+        return False  # jax-free path; daemon buys nothing
+    # probe-parse with stderr suppressed (the in-process run will re-parse
+    # and print any usage/error text exactly once)
+    if prog == "nthll":
+        import getopt
+
+        from ntcard_tpu.cli_hll import GETOPT_SPEC
+
+        try:
+            optlist, files = getopt.gnu_getopt(list(argv), *GETOPT_SPEC)
+        except getopt.GetoptError:
+            return False
+        if not files or any(f in ("--help", "--version") for f, _ in optlist):
+            return False
+    else:
+        from ntcard_tpu import cli
+
+        real_err = sys.stderr
+        sys.stderr = io.StringIO()
+        try:
+            opt, files = cli.parse_args(list(argv))
+        except SystemExit:
+            return False  # --help/--version/usage errors stay in-process
+        finally:
+            sys.stderr = real_err
+        if opt.coordinator or opt.num_hosts or opt.host_id >= 0:
+            return False
+    import stat
+
+    from ntcard_tpu.io.readers import expand_file_args
+
+    try:
+        in_files = expand_file_args(list(files))
+    except OSError:
+        return False
+    for f in in_files:
+        # FIFOs and /dev/fd/N process substitutions are only readable in
+        # the invoking process; URLs and plain files read fine from the
+        # daemon (same machine, cwd carried in the request)
+        if "://" in f:
+            continue
+        try:
+            st = os.stat(f)
+        except OSError:
+            return False
+        if not stat.S_ISREG(st.st_mode):
+            return False
+    return True
+
+
+def maybe_run_via_daemon(prog: str, argv: list) -> int | None:
+    """CLI hook: run this job through the persistent daemon when enabled and
+    eligible. Returns the job's exit code, or None meaning "run in-process"
+    (daemon disabled, job ineligible, or daemon not up yet — in which case
+    a daemon was spawned so the NEXT invocation lands warm)."""
+    if os.environ.get("NTCARD_DAEMON") not in ("1", "auto"):
+        return None
+    if not _job_eligible(prog, argv):
+        return None
+    sock_path = default_sock_path()
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(float(os.environ.get("NTCARD_DAEMON_CONNECT_SEC", "0.5")))
+    try:
+        s.connect(sock_path)
+    except OSError:
+        s.close()
+        _spawn_daemon(sock_path)
+        return None  # this job runs in-process while the daemon boots
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k.startswith("NTCARD_") and k != "NTCARD_DAEMON"
+    }
+    req = {"proto": PROTO, "argv": [prog] + list(argv), "cwd": os.getcwd(), "env": env}
+    try:
+        s.settimeout(None)
+        s.sendall(json.dumps(req).encode() + b"\n")
+        resp = json.loads(_recv_line(s) or b"null")
+    except (OSError, ValueError):
+        # the daemon died mid-job; rerunning in-process is safe (outputs are
+        # plain files, a partial double-write is overwritten) but worth a note
+        sys.stderr.write("ntcard: daemon connection lost; running in-process\n")
+        return None
+    finally:
+        s.close()
+    if not isinstance(resp, dict) or resp.get("exit") == _EXIT_PROTO_MISMATCH:
+        return None  # version skew: this client outruns the daemon's protocol
+    sys.stdout.write(resp.get("out", ""))
+    sys.stderr.write(resp.get("err", ""))
+    return int(resp.get("exit", 1))
+
+
+if __name__ == "__main__":
+    raise SystemExit(serve())

@@ -1,0 +1,212 @@
+"""Persistent device-runtime daemon (ntcard_tpu/daemon.py): byte-parity of
+daemon-routed runs against direct in-process runs, warm reuse, per-job env
+scoping, and the client's fallback guards. Runs on the forced 8-device CPU
+mesh like everything else; the daemon subprocess inherits that platform."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+from ntcard_tpu import cli
+from ntcard_tpu.daemon import (
+    PROTO,
+    _job_eligible,
+    _serve_one,
+    maybe_run_via_daemon,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _write_fastq(path: Path, n_reads: int = 200, seed: int = 7) -> None:
+    import random
+
+    rng = random.Random(seed)
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            seq = "".join(rng.choice("ACGT") for _ in range(100))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * 100}\n")
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    """A live daemon subprocess on a private socket; torn down at module end."""
+    sock = str(tmp_path_factory.mktemp("daemon") / "d.sock")
+    env = dict(os.environ)
+    env["NTCARD_DAEMON_SOCK"] = sock
+    env["NTCARD_DAEMON_IDLE_SEC"] = "120"
+    env.pop("NTCARD_DAEMON", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ntcard_tpu.daemon"],
+        cwd=str(REPO),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            s.connect(sock)
+            s.close()
+            break
+        except OSError:
+            s.close()
+            if proc.poll() is not None:
+                out, err = proc.communicate()
+                raise RuntimeError(f"daemon died: {err.decode()[-500:]}")
+            time.sleep(0.2)
+    else:
+        proc.kill()
+        raise RuntimeError("daemon did not come up")
+    yield sock
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def _run_pair(tmp_path, daemon_sock, monkeypatch, argv_of):
+    """Run the same job directly and through the daemon; return both output
+    file payloads keyed by name."""
+    direct_pref = tmp_path / "direct"
+    via_pref = tmp_path / "via"
+    # direct (no daemon env)
+    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    assert cli.main(argv_of(direct_pref)) == 0
+    # via daemon
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon_sock)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    assert cli.main(argv_of(via_pref)) == 0
+    monkeypatch.delenv("NTCARD_DAEMON")
+    direct = {
+        p.name.replace("direct", "X"): p.read_bytes()
+        for p in tmp_path.glob("direct*.hist")
+    }
+    via = {
+        p.name.replace("via", "X"): p.read_bytes() for p in tmp_path.glob("via*.hist")
+    }
+    assert direct and set(direct) == set(via)
+    return direct, via
+
+
+def test_daemon_byte_parity_and_warm_reuse(daemon, tmp_path, monkeypatch):
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq)
+
+    def argv(prefix):
+        return ["-k24,32", "-r12", "-c40", "-p", str(prefix), str(fq)]
+
+    direct, via = _run_pair(tmp_path, daemon, monkeypatch, argv)
+    assert direct == via
+    # warm rerun on the SAME daemon (the jit cache is now populated): still
+    # byte-identical — program reuse must not perturb results
+    warm_pref = tmp_path / "warm"
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    assert cli.main(argv(warm_pref)) == 0
+    for name, payload in direct.items():
+        assert (tmp_path / name.replace("X", "warm")).read_bytes() == payload
+
+
+def test_daemon_env_scoped_per_job(daemon, tmp_path, monkeypatch):
+    """A job-level NTCARD_* knob (nibble wire) rides the request and does not
+    leak into the next job (quad2 default) — both match the direct run."""
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, seed=11)
+    base = ["-k32", "-r12", "-c30"]
+    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    assert cli.main(base + ["-p", str(tmp_path / "direct"), str(fq)]) == 0
+    golden = (tmp_path / "direct_k32.hist").read_bytes()
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    monkeypatch.setenv("NTCARD_WIRE", "nibble")
+    assert cli.main(base + ["-p", str(tmp_path / "nib"), str(fq)]) == 0
+    monkeypatch.delenv("NTCARD_WIRE")
+    assert cli.main(base + ["-p", str(tmp_path / "post"), str(fq)]) == 0
+    assert (tmp_path / "nib_k32.hist").read_bytes() == golden
+    assert (tmp_path / "post_k32.hist").read_bytes() == golden
+
+
+def test_daemon_nthll_routes(daemon, tmp_path, monkeypatch, capsys):
+    from ntcard_tpu import cli_hll
+
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, seed=3)
+    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    assert cli_hll.main(["-k32", str(fq)]) == 0
+    direct = capsys.readouterr().out
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    assert cli_hll.main(["-k32", str(fq)]) == 0
+    assert capsys.readouterr().out == direct
+
+
+def test_eligibility_guards(tmp_path, monkeypatch):
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    ok = ["-k12", "-p", "x", str(fq)]
+    assert _job_eligible("ntcard", ok)
+    # usage errors / help / version stay in-process
+    assert not _job_eligible("ntcard", ["--help"])
+    assert not _job_eligible("ntcard", ["-k12", str(fq)])  # missing -p/-o
+    assert not _job_eligible("nthll", ["--help"])
+    assert not _job_eligible("nthll", [])
+    # FIFOs can only be read by the invoking process
+    fifo = tmp_path / "pipe.fq"
+    os.mkfifo(fifo)
+    assert not _job_eligible("ntcard", ["-k12", "-p", "x", str(fifo)])
+    # multi-host jobs own a distributed runtime
+    assert not _job_eligible(
+        "ntcard", ["-k12", "-p", "x", "--num-hosts", "2", str(fq)]
+    )
+    monkeypatch.setenv("NTCARD_ENGINE", "host")
+    assert not _job_eligible("ntcard", ok)
+    monkeypatch.delenv("NTCARD_ENGINE")
+    # missing input: let the in-process run print the real error
+    assert not _job_eligible("ntcard", ["-k12", "-p", "x", str(tmp_path / "no.fq")])
+
+
+def test_client_disabled_and_no_daemon(tmp_path, monkeypatch):
+    # disabled: pure no-op
+    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    assert maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", "f.fq"]) is None
+    # enabled but no daemon up: returns None (in-process) after spawning;
+    # point the spawn at a sock dir we control and a no-op spawner
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", str(tmp_path / "none.sock"))
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "0.1")
+    spawned = []
+    monkeypatch.setattr("ntcard_tpu.daemon._spawn_daemon", lambda p: spawned.append(p))
+    assert maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", str(fq)]) is None
+    assert spawned == [str(tmp_path / "none.sock")]
+
+
+def test_server_protocol_errors():
+    """_serve_one answers malformed and version-skewed requests with the
+    protocol exit codes and never crashes the accept loop."""
+    for payload, want in [
+        (b"not json\n", 70),
+        (json.dumps({"proto": PROTO + 1, "argv": ["ntcard"]}).encode() + b"\n", 71),
+        (json.dumps({"proto": PROTO, "argv": "nope"}).encode() + b"\n", 70),
+    ]:
+        a, b = socket.socketpair()
+        try:
+            a.sendall(payload)
+            a.shutdown(socket.SHUT_WR)
+            _serve_one(b)
+            resp = json.loads(a.makefile().readline())
+            assert resp["exit"] == want
+        finally:
+            a.close()
+            b.close()

@@ -136,25 +136,78 @@ def _run_job(argv: list, cwd: str, env: dict) -> tuple:
     return rc, out_buf.getvalue(), err_buf.getvalue()
 
 
-def _serve_one(conn: socket.socket) -> None:
+def _serve_one(conn: socket.socket, stats: dict | None = None) -> bool:
+    """Handle one connection. Returns False when a stop request asks the
+    accept loop to shut down."""
+    keep_going = True
     try:
         req = json.loads(_recv_line(conn) or b"{}")
     except ValueError:
         req = None
-    if not isinstance(req, dict) or not isinstance(req.get("argv"), list):
+    if not isinstance(req, dict):
         reply = {"exit": _EXIT_BAD_REQUEST, "out": "", "err": "ntcardd: bad request\n"}
     elif req.get("proto") != PROTO:
         reply = {"exit": _EXIT_PROTO_MISMATCH, "out": "", "err": ""}
+    elif req.get("op") == "ping":
+        s = dict(stats or {})
+        reply = {
+            "exit": 0,
+            "out": f"ntcardd: pid {os.getpid()}, jobs {s.get('jobs', 0)}, "
+            f"up {s.get('uptime', 0.0):.0f}s\n",
+            "err": "",
+        }
+    elif req.get("op") == "stop":
+        reply = {"exit": 0, "out": f"ntcardd: pid {os.getpid()} stopping\n", "err": ""}
+        keep_going = False
+    elif not isinstance(req.get("argv"), list):
+        reply = {"exit": _EXIT_BAD_REQUEST, "out": "", "err": "ntcardd: bad request\n"}
     else:
         with _job_lock:
             rc, out, err = _run_job(
                 req["argv"], req.get("cwd") or os.getcwd(), req.get("env") or {}
             )
+        if stats is not None:
+            stats["jobs"] = stats.get("jobs", 0) + 1
         reply = {"exit": rc, "out": out, "err": err}
     try:
         conn.sendall(json.dumps(reply).encode() + b"\n")
     except OSError:
         pass  # client went away; the job's file outputs are on disk regardless
+    return keep_going
+
+
+def _prewarm() -> None:
+    """NTCARD_DAEMON_WARM="<ntcard flags>" (e.g. "-k64,96,128"): run one
+    throwaway job on a tiny synthetic input at boot so even the FIRST
+    routed job of that flag shape finds its executables loaded. Wire
+    batches are fixed-geometry ([batch_rows, stride], padded —
+    io/packing.py), so program shapes depend on the FLAGS, not the input
+    size: a 200-read synthetic warms exactly the programs a 90 Mbp job of
+    the same flags will run. Best-effort; failures only cost the warmth."""
+    import shlex
+    import tempfile
+
+    spec = os.environ.get("NTCARD_DAEMON_WARM")
+    if not spec:
+        return
+    try:
+        with tempfile.TemporaryDirectory(prefix="ntcardd-warm-") as tmp:
+            fq = os.path.join(tmp, "warm.fq")
+            # deterministic 200 x 150 bp of all four bases (content is
+            # irrelevant — only shapes and code paths matter)
+            with open(fq, "w") as f:
+                seq = ("ACGT" * 38)[:150]
+                for i in range(200):
+                    f.write(f"@w{i}\n{seq}\n+\n{'I' * 150}\n")
+            argv = ["ntcard"] + shlex.split(spec) + ["-p", os.path.join(tmp, "w"), fq]
+            env = {"NTCARD_ENGINE": "device"}
+            rc, _, err = _run_job(argv, tmp, env)
+            if rc != 0:
+                sys.stderr.write(f"ntcardd: prewarm failed (rc {rc}): {err[-300:]}\n")
+            else:
+                sys.stderr.write(f"ntcardd: prewarmed '{spec}'\n")
+    except OSError as e:
+        sys.stderr.write(f"ntcardd: prewarm skipped: {e}\n")
 
 
 def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
@@ -200,16 +253,22 @@ def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
         except OSError:
             pass
         return 1
+    _prewarm()
     srv.settimeout(idle)
     sys.stderr.write(f"ntcardd: serving on {sock_path}\n")
+    import time
+
+    stats = {"jobs": 0, "t0": time.monotonic()}
     try:
         while True:
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
                 return 0  # idle expiry
+            stats["uptime"] = time.monotonic() - stats["t0"]
             with conn:
-                _serve_one(conn)
+                if not _serve_one(conn, stats):
+                    return 0  # stop request
     finally:
         try:
             os.unlink(sock_path)
@@ -340,5 +399,28 @@ def maybe_run_via_daemon(prog: str, argv: list) -> int | None:
     return int(resp.get("exit", 1))
 
 
+def _control(op: str) -> int:
+    """Send a ping/stop to the daemon on the configured socket path."""
+    sock_path = default_sock_path()
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(10.0)
+    try:
+        s.connect(sock_path)
+        s.sendall(json.dumps({"proto": PROTO, "op": op}).encode() + b"\n")
+        resp = json.loads(_recv_line(s) or b"{}")
+    except (OSError, ValueError):
+        sys.stderr.write(f"ntcardd: no daemon on {sock_path}\n")
+        return 1
+    finally:
+        s.close()
+    sys.stdout.write(resp.get("out", ""))
+    sys.stderr.write(resp.get("err", ""))
+    return int(resp.get("exit", 1))
+
+
 if __name__ == "__main__":
+    if "--status" in sys.argv[1:]:
+        raise SystemExit(_control("ping"))
+    if "--stop" in sys.argv[1:]:
+        raise SystemExit(_control("stop"))
     raise SystemExit(serve())

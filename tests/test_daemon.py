@@ -210,3 +210,51 @@ def test_server_protocol_errors():
         finally:
             a.close()
             b.close()
+
+
+def test_control_ops_and_prewarm(tmp_path, monkeypatch):
+    """--status/--stop control requests, and NTCARD_DAEMON_WARM running a
+    synthetic job at boot (program shapes depend on flags, not input size,
+    so the warm job loads exactly what a real job of those flags needs)."""
+    from ntcard_tpu.daemon import _control
+
+    sock = str(tmp_path / "c.sock")
+    env = dict(os.environ)
+    env["NTCARD_DAEMON_SOCK"] = sock
+    env["NTCARD_DAEMON_IDLE_SEC"] = "120"
+    env["NTCARD_DAEMON_WARM"] = "-k12 -r10 -c20"
+    env.pop("NTCARD_DAEMON", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ntcard_tpu.daemon"],
+        cwd=str(REPO), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        monkeypatch.setenv("NTCARD_DAEMON_SOCK", sock)
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                s.connect(sock)
+                s.close()
+                break
+            except OSError:
+                s.close()
+                assert proc.poll() is None, proc.communicate()[1].decode()[-500:]
+                time.sleep(0.2)
+        # ping queues behind the boot-time prewarm; a reply proves both ran
+        assert _control("ping") == 0
+        assert _control("stop") == 0
+        out, err = proc.communicate(timeout=30)
+        assert proc.returncode == 0
+        assert "prewarmed '-k12 -r10 -c20'" in err.decode()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_control_no_daemon(tmp_path, monkeypatch, capsys):
+    from ntcard_tpu.daemon import _control
+
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", str(tmp_path / "gone.sock"))
+    assert _control("ping") == 1

@@ -55,6 +55,22 @@ def _sparse_mode() -> str:
     return "on" if jax.devices()[0].platform == "tpu" else "off"
 
 
+def _defer_slots(r_bits: int) -> int:
+    """Scatter-deferral window (batches folded per table scatter) for the
+    big-table sparse path. The GiB-operand XLA scatter costs ~11.6 ms FIXED
+    per op nearly independent of element count (tools/probe_r27.py-style
+    chained probe: 114688 vs 917504 elements = 11.6 vs 12.0 ms/op), so
+    deferring S batches reclaims (S-1)/S of the scatter stage. 0 disables
+    (NTCARD_SCATTER_DEFER=0); the hist path (r_bits <= 16) and the plain
+    XLA scatter path never defer."""
+    if _sparse_mode() == "off" or r_bits <= 16:
+        return 0
+    env = os.environ.get("NTCARD_SCATTER_DEFER")
+    if env is not None:
+        return max(0, int(env))
+    return 8
+
+
 def _emit_cap(n: int) -> int:
     """Compaction buffer slots for an n-window emit stream. Expected sampled
     density is 2^-(sBits+1)+2^-sBits (1.17% at the sBits=7 default) and
@@ -123,22 +139,33 @@ def _table_add(table, idx, r_bits):
             no,
         )
 
-    cap = _emit_cap(idx.size)
-    vals, cnt = compact_pallas(idx, sent, cap, interpret=interp)
-    over = cnt > np.int32(cap)
-    # all-or-nothing: on overflow every slot is masked to -1 (dropped), so
-    # the recovery path re-applies the WHOLE batch exactly once.
+    masked, over = _compact_masked(idx, r_bits, interp)
     # NOTE: do NOT pass indices_are_sorted to this scatter — on the real
     # TPU a sorted-hint scatter whose buffer starts with OOB (-1) padding
     # dropped EVERY update (silently wrong AND "fast"); plain drop-mode is
     # the verified path
-    masked = jnp.where(over, np.int32(-1), vals)
     table = table.at[masked].add(1, mode="drop")
     return table, over
 
 
+def _compact_masked(idx, r_bits, interp):
+    """Big-table sparse emit: compact the sampled indices of one batch's
+    emit stream into a dense int32[cap] buffer (unused slots -1, dropped by
+    the downstream scatter) plus the per-batch overflow flag. All-or-
+    nothing: on overflow every slot is masked to -1, so the recovery path
+    (_replay_update) re-applies the WHOLE batch exactly once."""
+    from ntcard_tpu.ops.scatter_pallas import compact_pallas
+
+    r_buck = 1 << r_bits
+    cap = _emit_cap(idx.size)
+    vals, cnt = compact_pallas(idx, 2 * r_buck, cap, interpret=interp)
+    over = cnt > np.int32(cap)
+    return jnp.where(over, np.int32(-1), vals), over
+
+
 def _update_impl(
-    tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False
+    tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False,
+    defer=False,
 ):
     """One batch step: tables = tuple of nK int32[2*rbuck+1] arrays; f1s
     [nK, 2] uint32 (hi, lo) exact 64-bit F1 accumulators. Returns
@@ -162,12 +189,30 @@ def _update_impl(
     tables and F1 by construction (tests/test_pallas_kernel.py). Spaced
     seeds fall back to the XLA kernel (single-seed NTMS64 lives there)."""
     if os.environ.get("NTCARD_KERNEL") == "pallas" and not mask_positions:
-        return _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed)
+        return _update_pallas(
+            tables, f1s, codes, ks, stride, s_bits, r_bits, packed, defer=defer
+        )
     idx, f1 = sketch_scan(codes, ks, stride, s_bits, r_bits, mask_positions, packed=packed)
     new_f1s = []
     for i, k in enumerate(ks):
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1[k].astype(jnp.uint32))
         new_f1s.append(jnp.stack([hi, lo]))
+    if defer:
+        # deferred-scatter hot path: compact + mask only; the owning sketch
+        # accumulates the per-batch buffers and applies them in one scatter
+        # per k every few batches (_flush_scatter) — the XLA scatter on a
+        # GiB-scale operand costs ~11.6 ms FIXED per op nearly independent
+        # of element count (measured: 114688 vs 917504 elements = 11.6 vs
+        # 12.0 ms), so batching S batches' buffers reclaims (S-1)/S of the
+        # per-batch scatter stage (~33 ms of the 70 ms r27 3-k step)
+        interp = _sparse_mode() == "interpret"
+        vals = []
+        flags = []
+        for i, k in enumerate(ks):
+            v, over = _compact_masked(idx[k].reshape(-1), r_bits, interp)
+            vals.append(v)
+            flags.append(over)
+        return tuple(vals), jnp.stack(new_f1s), jnp.stack(flags)
     new_tables = []
     flags = []
     for i, k in enumerate(ks):
@@ -177,7 +222,7 @@ def _update_impl(
     return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
-def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
+def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, defer=False):
     """Pallas-backed batch step (called inside _update's jit trace). The
     kernel wants [B, L] row-major codes; wire batches are unpacked on
     device first (cheap fused elementwise pass; quad additionally costs a
@@ -203,18 +248,26 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed):
     new_tables = []
     new_f1s = []
     flags = []
+    vals = []
     for i, _k in enumerate(ks):
         flat = idx[i].reshape(-1)
         # fold the invalid-window sentinel (sent1, outside the table) into
         # the unsampled dump row so the sparse path masks both; the dump row
         # is never read, and the plain scatter's only difference is which
         # ignored bucket the sentinels land in
-        t, over = _table_add(tables[i], jnp.minimum(flat, sent0), r_bits)
-        new_tables.append(t)
+        if defer:
+            interp = _sparse_mode() == "interpret"
+            v, over = _compact_masked(jnp.minimum(flat, sent0), r_bits, interp)
+            vals.append(v)
+        else:
+            t, over = _table_add(tables[i], jnp.minimum(flat, sent0), r_bits)
+            new_tables.append(t)
         flags.append(over)
         f1 = (flat != sent1).sum(dtype=jnp.uint32)
         hi, lo = _u64_acc_add(f1s[i, 0], f1s[i, 1], f1)
         new_f1s.append(jnp.stack([hi, lo]))
+    if defer:
+        return tuple(vals), jnp.stack(new_f1s), jnp.stack(flags)
     return tuple(new_tables), jnp.stack(new_f1s), jnp.stack(flags)
 
 
@@ -258,6 +311,45 @@ def _update_first(
         tables, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed
     )
     return t, f, flags, ocount + flags.sum(dtype=jnp.uint32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
+    donate_argnums=(0,),
+)
+def _update_defer(
+    f1s, ocount, codes, ks, stride, s_bits, r_bits, mask_positions, packed=False
+):
+    """Deferred-scatter batch step: identical hash + compact + mask + F1 +
+    overflow accounting to _update, but the per-k table scatters are NOT
+    applied — the compacted buffers (int32[cap] each, unused slots -1) come
+    back instead, and the owning sketch folds several batches' buffers into
+    ONE scatter per k via _flush_scatter. Exactness is unchanged: scatter-
+    adds commute, flags/F1/ocount are computed exactly as in _update, and
+    an overflow-masked buffer is all -1 (contributes nothing) just like the
+    masked direct scatter. The tables never enter this program, so its
+    dispatch carries no GiB-scale operands at all."""
+    vals, f, flags = _update_impl(
+        None, f1s, codes, ks, stride, s_bits, r_bits, mask_positions, packed,
+        defer=True,
+    )
+    return vals, f, flags, ocount + flags.sum(dtype=jnp.uint32)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _flush_scatter(tables, slots):
+    """Apply S deferred batches' compacted buffers in one scatter per k.
+    ``slots``: tuple over batches of tuples over k of int32[cap] buffers
+    (-1 slots drop). One program per distinct S (the sketch flushes in
+    greedy power-of-two chunks, so at most log2(S_max)+1 shapes exist).
+    The concatenate is a few-MB VMEM-side copy; the scatter's ~11.6 ms
+    fixed cost is paid once per flush instead of once per batch."""
+    new = []
+    for i, t in enumerate(tables):
+        cat = jnp.concatenate([s[i] for s in slots])
+        new.append(t.at[cat].add(1, mode="drop"))
+    return tuple(new)
 
 
 @partial(
@@ -599,7 +691,8 @@ class ChainedCountTableSketch:
     def merged(self) -> "CountTableSketch":
         head = self._chains[0]
         head._flush_replays()  # merge_ flushes both sides, but a 1-chain
-        for other in self._chains[1:]:  # merged() must settle head too
+        head._flush_deferred()  # merged() must settle head too
+        for other in self._chains[1:]:
             head.merge_(other)
         self._chains = [head]
         self._i = 0
@@ -686,6 +779,10 @@ class CountTableSketch(DeferredReplayMixin):
         self.f1s = jnp.zeros((nk, 2), jnp.uint32)  # (hi, lo) u64 accumulators
         self._f1_loaded = [0] * nk  # merged-in totals from load/merge_
         self._init_replay()  # deferred overflow replay (DeferredReplayMixin)
+        # scatter deferral (see _update_defer/_flush_scatter): pending
+        # compacted per-batch buffers, applied S at a time
+        self._defer_max = _defer_slots(r_bits)
+        self._defer_vals: list = []
 
     @property
     def tables(self):
@@ -722,6 +819,23 @@ class CountTableSketch(DeferredReplayMixin):
                 self.gap_positions,
                 packed,
             )
+        elif self._defer_max > 0 and codes.ndim == 2:
+            # deferred-scatter hot path: no table operands in the dispatch;
+            # pending buffers fold into one scatter per k every S batches
+            vals, self.f1s, flags, self._ocount = _update_defer(
+                self.f1s,
+                self._ocount,
+                codes,
+                self.ks,
+                self.stride,
+                self.s_bits,
+                self.r_bits,
+                self.gap_positions,
+                packed,
+            )
+            self._defer_vals.append(vals)
+            if len(self._defer_vals) >= self._defer_max:
+                self._flush_deferred()
         else:
             fn = _update_stack if codes.ndim == 3 else _update
             self.tables, self.f1s, flags, self._ocount = fn(
@@ -737,6 +851,16 @@ class CountTableSketch(DeferredReplayMixin):
                 packed,
             )
         self._track_replay(flags, codes, packed)
+
+    def _flush_deferred(self) -> None:
+        """Apply pending deferred-scatter buffers in greedy power-of-two
+        chunks (at most log2(S)+1 distinct _flush_scatter program shapes
+        ever exist). Every reader of .tables (finalize/save/merge) calls
+        this first; replay does not need to (scatter-adds commute)."""
+        while self._defer_vals:
+            n = 1 << (len(self._defer_vals).bit_length() - 1)
+            chunk, self._defer_vals = self._defer_vals[:n], self._defer_vals[n:]
+            self.tables = _flush_scatter(self.tables, tuple(chunk))
 
     def _replay_flagged(self, f, _flags_dev, codes, packed) -> None:
         """f: [nK] or [n, nK] (superbatch stack) numpy overflow flags."""
@@ -765,6 +889,7 @@ class CountTableSketch(DeferredReplayMixin):
         """Checkpoint the sketch state (pure, commutative — partial runs can
         be merged offline; the reference has no equivalent, SURVEY.md §5)."""
         self._flush_replays()
+        self._flush_deferred()
         np.savez_compressed(
             path,
             tables=np.asarray(self.tables),
@@ -804,6 +929,8 @@ class CountTableSketch(DeferredReplayMixin):
             )
         self._flush_replays()
         other._flush_replays()
+        self._flush_deferred()
+        other._flush_deferred()
         # donate both operands: at default rBits the tables are GiB-scale,
         # and a non-donating add would hold three copies live mid-merge
         self.tables = _merge_add(self.tables, other.tables)
@@ -822,6 +949,7 @@ class CountTableSketch(DeferredReplayMixin):
         if mine != theirs:
             raise ValueError(f"sketch configs differ; cannot merge ({mine} vs {theirs})")
         self._flush_replays()
+        self._flush_deferred()
         nk = len(self.ks)
         padded = []
         for i in range(nk):
@@ -924,6 +1052,7 @@ class CountTableSketch(DeferredReplayMixin):
         bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
+        self._flush_deferred()  # pending scatter-deferral buffers first
         nbins = min(cov_max + 1, 65536)
         if self._bundle_ok(nbins):
             hists, f1s = self._finalize_fused(nbins)

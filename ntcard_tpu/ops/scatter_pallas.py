@@ -40,6 +40,7 @@ is merely as slow as before.
 from __future__ import annotations
 
 import functools
+import os
 
 from ntcard_tpu import _jax_config  # noqa: F401  (platform/cache config before backend init)
 import jax
@@ -338,8 +339,21 @@ def compact_pallas(
     rows = _pad_rows(idx.reshape(-1), np.int32(sent), block_rows)
     grid = rows.shape[0] // block_rows
     # interleave as many extraction streams as the block allows (two
-    # vector->scalar moves per element; 4 independent streams pipeline them)
-    ways = 4 if (block_rows // 8) % 4 == 0 else 2
+    # vector->scalar moves per element; 4 independent streams pipeline
+    # them). NTCARD_COMPACT_WAYS overrides for A/B tuning (must divide
+    # block_rows // 8). A lane-group variant (min over [8,128] vregs
+    # instead of [8,1024] windows) was measured SLOWER on chip (56.5 vs
+    # 36.2 ms/batch at r27 3-k): the extraction loop is iteration-count/
+    # scalar-latency-bound, not vector-width-bound.
+    ways_env = os.environ.get("NTCARD_COMPACT_WAYS")
+    if ways_env:
+        ways = int(ways_env)
+        if (block_rows // 8) % ways:
+            raise ValueError(f"NTCARD_COMPACT_WAYS={ways} must divide {block_rows // 8}")
+    else:
+        ways = 4 if (block_rows // 8) % 4 == 0 else 2
+    use_packed2 = compact_packed2_default() if packed2 is None else packed2
+    extractor = _extract_multi_packed2 if use_packed2 else _extract_multi_full
     vals, cnt = pl.pallas_call(
         functools.partial(
             _compact_kernel,
@@ -347,9 +361,7 @@ def compact_pallas(
             cap_rows=cap_rows,
             block_rows=block_rows,
             ways=ways,
-            extractor=_extract_multi_packed2
-            if (compact_packed2_default() if packed2 is None else packed2)
-            else _extract_multi_full,
+            extractor=extractor,
             prefilter=prefilter,
         ),
         grid=(grid,),

@@ -382,8 +382,12 @@ class PerDeviceCountTableSketch:
         device-to-device transfer each — ICI on real multi-chip)."""
         head = self._sketches[0]
         head._flush_replays()  # merge_ flushes both sides, but n_dev==1
-        for other in self._sketches[1:]:  # must settle head too
+        head._flush_deferred()  # must settle head too
+        for other in self._sketches[1:]:
             other._flush_replays()
+            # settle deferral BEFORE moving tables: pending buffers live on
+            # the shard's device, and _flush_scatter needs colocated args
+            other._flush_deferred()
             other.tables = tuple(
                 jax.device_put(t, self.devices[0]) for t in other.tables
             )

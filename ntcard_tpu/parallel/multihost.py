@@ -174,6 +174,7 @@ def merged_finalize(sketch, cov_max: int = 65535):
     from jax.experimental import multihost_utils
 
     sketch._flush_replays()  # settle deferred overflow replays first
+    sketch._flush_deferred()  # and pending scatter-deferral buffers
     f1_local = np.asarray(sketch._f1_totals(), np.int64)
     f1_all = multihost_utils.process_allgather(f1_local).sum(axis=0)
     nbins = min(cov_max + 1, 65536)

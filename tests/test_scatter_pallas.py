@@ -103,6 +103,9 @@ def _run_updates(codes_batches, ks, s_bits, r_bits, stride):
     sk = sketch_mod.CountTableSketch(ks, s_bits, r_bits, stride)
     for c in codes_batches:
         sk.update(c)
+    # raw .tables read: settle any pending scatter-deferral buffers first
+    # (finalize/save/merge do this themselves; this helper bypasses them)
+    sk._flush_deferred()
     tables = np.asarray(sk.tables)
     f1s = [int(x) for x in sk._f1_totals()]
     return tables, f1s

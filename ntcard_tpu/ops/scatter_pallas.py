@@ -338,20 +338,22 @@ def compact_pallas(
     cap_rows = (cap // 128 + 7) // 8 * 8
     rows = _pad_rows(idx.reshape(-1), np.int32(sent), block_rows)
     grid = rows.shape[0] // block_rows
-    # interleave as many extraction streams as the block allows (two
-    # vector->scalar moves per element; 4 independent streams pipeline
-    # them). NTCARD_COMPACT_WAYS overrides for A/B tuning (must divide
-    # block_rows // 8). A lane-group variant (min over [8,128] vregs
-    # instead of [8,1024] windows) was measured SLOWER on chip (56.5 vs
-    # 36.2 ms/batch at r27 3-k): the extraction loop is iteration-count/
-    # scalar-latency-bound, not vector-width-bound.
+    # interleave as many extraction streams as the block allows: the
+    # extraction loop is iteration-count/scalar-latency-bound (a lane-group
+    # variant with 8x narrower min-reductions measured SLOWER, 56.5 vs
+    # 36.2 ms/batch at r27 3-k), so deeper interleave wins until the
+    # per-iteration vector work and the max-over-streams loop-count waste
+    # catch up — on-chip ways sweep at r27 3-k (ms/batch): 4 -> 36.2,
+    # 8 -> 26.9, **16 -> 23.1**, 32 -> 29.2. NTCARD_COMPACT_WAYS overrides
+    # for A/B tuning (must divide block_rows // 8).
     ways_env = os.environ.get("NTCARD_COMPACT_WAYS")
     if ways_env:
         ways = int(ways_env)
         if (block_rows // 8) % ways:
             raise ValueError(f"NTCARD_COMPACT_WAYS={ways} must divide {block_rows // 8}")
     else:
-        ways = 4 if (block_rows // 8) % 4 == 0 else 2
+        nwin = block_rows // 8
+        ways = next((w for w in (16, 8, 4, 2) if nwin % w == 0), 1)
     use_packed2 = compact_packed2_default() if packed2 is None else packed2
     extractor = _extract_multi_packed2 if use_packed2 else _extract_multi_full
     vals, cnt = pl.pallas_call(

@@ -132,6 +132,29 @@ def main() -> int:
 
         dt = chained(step, batches, acc_factory)
 
+    elif phase == "defer":
+        # the production sketch at its defaults (scatter deferral ON unless
+        # NTCARD_SCATTER_DEFER=0): whole-sketch wall over nb batches incl.
+        # the flush scatters and finalize-side settle — the number the CLI
+        # dispatch loop actually pays per batch. Round-4 measured: 43.7
+        # (defer=8) vs 69.5 (defer=0) ms/batch.
+        batches = [
+            jnp.asarray(rng.integers(0, 4, (BATCH_ROWS, CHUNK_LEN), dtype=np.uint8))
+            for _ in range(nb)
+        ]
+
+        def run_sketch():
+            sk = S.CountTableSketch(KS, S_BITS, R_BITS, stride)
+            for b in batches:
+                sk.update(b)
+            sk._flush_deferred()
+            return drain(sk.tables)
+
+        run_sketch()  # compile + load
+        t0 = time.perf_counter()
+        run_sketch()
+        dt = (time.perf_counter() - t0) / nb
+
     elif phase == "csf":
         # cs + the production f1 (per-k sum of the validity mask) but plain
         # uint32 accumulation — isolates the valid-sum reduction's cost

@@ -158,3 +158,21 @@ def test_defer_engages_and_flushes(monkeypatch):
     assert sk._defer_vals == []
     sk.update(batches[3])
     assert len(sk._defer_vals) == 1
+
+
+def test_defer_gap_seed(monkeypatch):
+    """Spaced-seed (gap) runs defer through the same compact path."""
+    recs = _records(n=320, seed=33)
+    gap = (3, 4)  # positions masked out of the 8-mer
+    monkeypatch.setenv("NTCARD_SCATTER_DEFER", "0")
+    ref = CountTableSketch((K,), S_BITS, R_BITS, STRIDE, gap_positions=gap)
+    for b in pack_records(recs, CHUNK, ROWS, K):
+        ref.update(b)
+    base = ref.finalize(return_table=True)
+    monkeypatch.setenv("NTCARD_SCATTER_DEFER", "4")
+    sk = CountTableSketch((K,), S_BITS, R_BITS, STRIDE, gap_positions=gap)
+    for b in pack_records(recs, CHUNK, ROWS, K):
+        sk.update(b)
+    got = sk.finalize(return_table=True)
+    np.testing.assert_array_equal(base[K]["table"], got[K]["table"])
+    assert base[K]["f1"] == got[K]["f1"]

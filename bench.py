@@ -497,11 +497,18 @@ def _measure_daemon_r27(fq: Path, ref_wall, deadline_left: float) -> None:
     if deadline_left < 150:
         return
     sock = str(WORK / "benchd.sock")
-    for p in (sock, sock + ".lock"):
+
+    def _alive() -> bool:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(1.0)
         try:
-            os.unlink(p)
+            s.connect(sock)
+            return True
         except OSError:
-            pass
+            return False
+        finally:
+            s.close()
+
     env = _lean_cli_env(
         NTCARD_ENGINE="device",
         NTCARD_DAEMON_SOCK=sock,
@@ -509,24 +516,29 @@ def _measure_daemon_r27(fq: Path, ref_wall, deadline_left: float) -> None:
     )
     env.pop("NTCARD_DAEMON", None)
     t_start = time.perf_counter()
-    with open(WORK / "benchd.log", "ab") as log:
-        daemon = subprocess.Popen(
-            [sys.executable, "-m", "ntcard_tpu.daemon"],
-            env=env, stdout=log, stderr=log, start_new_session=True,
-            stdin=subprocess.DEVNULL,
-        )
+    daemon = None
+    if not _alive():
+        # no live daemon: clear a stale socket FILE only — never the
+        # .lock sidecar (its flock is the single-instance exclusion,
+        # kernel-released on daemon death; deleting it would let a second
+        # daemon boot alongside a still-live one from a SIGKILLed run)
+        try:
+            os.unlink(sock)
+        except OSError:
+            pass
+        with open(WORK / "benchd.log", "ab") as log:
+            daemon = subprocess.Popen(
+                [sys.executable, "-m", "ntcard_tpu.daemon"],
+                env=env, stdout=log, stderr=log, start_new_session=True,
+                stdin=subprocess.DEVNULL,
+            )
     try:
         while time.perf_counter() - t_start < 90:
-            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            try:
-                s.connect(sock)
-                s.close()
+            if _alive():
                 break
-            except OSError:
-                s.close()
-                if daemon.poll() is not None:
-                    return
-                time.sleep(0.3)
+            if daemon is not None and daemon.poll() is not None:
+                return
+            time.sleep(0.3)
         else:
             return
         cli_env = dict(env, NTCARD_DAEMON="1", NTCARD_DAEMON_CONNECT_SEC="3")
@@ -543,6 +555,13 @@ def _measure_daemon_r27(fq: Path, ref_wall, deadline_left: float) -> None:
             if r.returncode != 0:
                 return
             dt = time.perf_counter() - t0
+            # validity: a dead daemon makes the CLI fall back to a cold
+            # in-process run (stderr notes the lost connection, or the
+            # daemon is simply gone) — such a wall must never be banked
+            # as the warm-pool number
+            fell_back = b"running in-process" in r.stderr
+            if fell_back or not _alive():
+                break
             if i > 0:
                 best = dt if best is None else min(best, dt)
                 if ref_wall is not None and i >= 2 and best < ref_wall * 0.5:
@@ -550,8 +569,19 @@ def _measure_daemon_r27(fq: Path, ref_wall, deadline_left: float) -> None:
         if best is not None:
             PARTIAL["r27_default_device_daemon_wall_sec"] = round(best, 3)
     finally:
-        if daemon.poll() is None:
+        if daemon is not None and daemon.poll() is None:
             daemon.terminate()  # exact PID we spawned
+        elif _alive():
+            # a daemon we did not spawn serves the socket (pre-existing, or
+            # a CLI-respawned replacement after ours died); ask it to stop
+            # so it does not squat the chip through the later bench phases
+            try:
+                subprocess.run(
+                    [sys.executable, "-m", "ntcard_tpu.daemon", "--stop"],
+                    capture_output=True, timeout=30, env=env,
+                )
+            except (subprocess.SubprocessError, OSError):
+                pass
 
 
 def measure_r27_default(fq: Path, deadline_left: float, retry: bool = False) -> dict:
@@ -664,10 +694,10 @@ def measure_r27_default(fq: Path, deadline_left: float, retry: bool = False) -> 
             out["r27_default_device_wall_best_observed_sec"] = round(seen, 3)
     except (subprocess.SubprocessError, OSError):
         pass
-    # warm-pool daemon head-to-head (first call only; retries chase a
-    # better weather window for the COLD wall, the daemon wall is
-    # weather-insensitive by construction)
-    if not retry:
+    # warm-pool daemon head-to-head (first call, or a retry when the first
+    # attempt's window was stormy enough to yield nothing — the daemon wall
+    # is weather-insensitive once any pass completes)
+    if not retry or "r27_default_device_daemon_wall_sec" not in PARTIAL:
         try:
             _measure_daemon_r27(
                 fq, ref_wall, deadline_left - (time.perf_counter() - t_enter)

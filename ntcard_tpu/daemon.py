@@ -21,12 +21,27 @@ The reference has no analog — its engine is a cold OpenMP binary
 (``/root/reference/ntcard.cpp:317-478``); amortizing device startup across
 jobs is a TPU-native design concern.
 
-Protocol (version 1, newline-delimited JSON over a unix socket):
-  client -> server   {"proto": 1, "argv": ["ntcard", ...], "cwd": str,
+Protocol (version 2, newline-delimited JSON over a unix socket):
+  server -> client   {"ready": 1}                      (greeting on accept)
+  client -> server   {"proto": 2, "argv": ["ntcard", ...], "cwd": str,
                       "env": {NTCARD_* vars of the client}}
   server -> client   {"exit": int, "out": str, "err": str}
 Output FILES are written by the daemon process directly (same machine,
 same cwd); stdout/stderr text is captured and relayed. One job at a time.
+The greeting bounds the client's exposure to a wedged or busy daemon: a
+connect lands in the listen backlog even while the daemon is still in its
+backend boot (or mid-job), so the client waits for the greeting only up
+to NTCARD_DAEMON_READY_SEC (10) and otherwise runs in-process — a stuck
+daemon degrades to the cold path instead of hanging the pipeline. Once a
+job is accepted there is deliberately NO reply timeout (a big input runs
+as long as it runs, exactly like the cold path).
+
+Caveat (measured, tests/test_defer_scatter.py fixture): NTCARD_* knobs
+read at TRACE time (NTCARD_SCATTER, NTCARD_KERNEL, NTCARD_COMPACT_WAYS)
+are baked into jit programs keyed only on shapes — across daemon jobs of
+identical shapes the FIRST job's values win silently. Outputs are
+bit-identical for every knob value by contract, so results are never
+wrong, but kernel A/B probing must bypass the daemon.
 
 Knobs:
   NTCARD_DAEMON=1            CLIs route eligible jobs through the daemon,
@@ -54,7 +69,7 @@ import sys
 import threading
 import traceback
 
-PROTO = 1
+PROTO = 2
 
 # exit codes the server uses for protocol-level failures (EX_SOFTWARE /
 # EX_PROTOCOL flavors; never returned for a job that actually ran)
@@ -90,17 +105,26 @@ def _run_job(argv: list, cwd: str, env: dict) -> tuple:
     """Run one CLI job in-process: swap cwd + NTCARD_* env + stdio, call the
     CLI main, restore everything. Returns (rc, stdout_text, stderr_text).
 
-    The env swap is scoped to NTCARD_* keys: engine/wire/kernel knobs are
-    read at call time throughout the package, so per-job values behave
-    exactly as they would in a fresh process. Platform-level vars
-    (JAX_PLATFORMS, XLA_FLAGS) are intentionally NOT swapped — the backend
-    client is already initialized and they could not take effect anyway
-    (documented client-side: such jobs are simply not routed)."""
-    old_cwd = os.getcwd()
+    The env swap is scoped to NTCARD_* keys: run-time knobs (engine
+    selection, wire format, replay lag) take per-job effect; TRACE-time
+    knobs are frozen per program fingerprint — see the module docstring
+    caveat. Platform-level vars (JAX_PLATFORMS, XLA_FLAGS) are
+    intentionally NOT swapped — the backend client is already initialized
+    and they could not take effect anyway.
+
+    Every step here — including the cwd/env swap itself (a client can
+    legitimately send a since-deleted cwd) — is exception-guarded: one bad
+    request must never unwind the accept loop and throw away the warm
+    state the daemon exists to keep."""
+    try:
+        old_cwd = os.getcwd()
+    except OSError:
+        old_cwd = "/"  # daemon's own start dir was deleted; anchor somewhere
     touched = set(env) | {k for k in os.environ if k.startswith("NTCARD_")}
     saved = {k: os.environ.get(k) for k in touched}
     out_buf, err_buf = io.StringIO(), io.StringIO()
     old_out, old_err = sys.stdout, sys.stderr
+    rc = 1
     try:
         os.chdir(cwd)
         for k in touched:
@@ -122,12 +146,15 @@ def _run_job(argv: list, cwd: str, env: dict) -> tuple:
                 rc = cli.main(argv[1:])
         except SystemExit as e:
             rc = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
-        except BaseException:
-            traceback.print_exc(file=err_buf)
-            rc = 1
+    except BaseException:
+        traceback.print_exc(file=err_buf)
+        rc = 1
     finally:
         sys.stdout, sys.stderr = old_out, old_err
-        os.chdir(old_cwd)
+        try:
+            os.chdir(old_cwd)
+        except OSError:
+            pass
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)
@@ -141,8 +168,15 @@ def _serve_one(conn: socket.socket, stats: dict | None = None) -> bool:
     accept loop to shut down."""
     keep_going = True
     try:
+        # greeting: tells the client a live daemon actually ACCEPTED it
+        # (connects land in the backlog even during backend boot / a
+        # running job; the client only waits NTCARD_DAEMON_READY_SEC)
+        conn.sendall(b'{"ready": 1}\n')
+    except OSError:
+        return True  # client gave up waiting; nothing else to do
+    try:
         req = json.loads(_recv_line(conn) or b"{}")
-    except ValueError:
+    except (OSError, ValueError):
         req = None
     if not isinstance(req, dict):
         reply = {"exit": _EXIT_BAD_REQUEST, "out": "", "err": "ntcardd: bad request\n"}
@@ -366,6 +400,10 @@ def maybe_run_via_daemon(prog: str, argv: list) -> int | None:
         return None
     if not _job_eligible(prog, argv):
         return None
+    try:
+        cwd = os.getcwd()
+    except OSError:
+        return None  # deleted cwd: the in-process path decides what breaks
     sock_path = default_sock_path()
     s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     s.settimeout(float(os.environ.get("NTCARD_DAEMON_CONNECT_SEC", "0.5")))
@@ -380,14 +418,25 @@ def maybe_run_via_daemon(prog: str, argv: list) -> int | None:
         for k, v in os.environ.items()
         if k.startswith("NTCARD_") and k != "NTCARD_DAEMON"
     }
-    req = {"proto": PROTO, "argv": [prog] + list(argv), "cwd": os.getcwd(), "env": env}
+    req = {"proto": PROTO, "argv": [prog] + list(argv), "cwd": cwd, "env": env}
     try:
+        # wait (bounded) for the accept-greeting: a daemon wedged in its
+        # backend boot, or busy with another job, never greets — run this
+        # job in-process instead of hanging on a connected-but-unserved
+        # socket. AFTER the greeting the reply wait is unbounded on
+        # purpose: a big input legitimately runs for as long as it runs.
+        s.settimeout(float(os.environ.get("NTCARD_DAEMON_READY_SEC", "10")))
+        f = s.makefile("rb")
+        hello = json.loads(f.readline() or b"null")
+        if not (isinstance(hello, dict) and hello.get("ready")):
+            return None
         s.settimeout(None)
         s.sendall(json.dumps(req).encode() + b"\n")
-        resp = json.loads(_recv_line(s) or b"null")
+        resp = json.loads(f.readline() or b"null")
     except (OSError, ValueError):
-        # the daemon died mid-job; rerunning in-process is safe (outputs are
-        # plain files, a partial double-write is overwritten) but worth a note
+        # the daemon died mid-job (or never served us); rerunning
+        # in-process is safe (outputs are plain files, a partial
+        # double-write is overwritten) but worth a note
         sys.stderr.write("ntcard: daemon connection lost; running in-process\n")
         return None
     finally:
@@ -403,11 +452,15 @@ def _control(op: str) -> int:
     """Send a ping/stop to the daemon on the configured socket path."""
     sock_path = default_sock_path()
     s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    s.settimeout(10.0)
+    s.settimeout(30.0)
     try:
         s.connect(sock_path)
+        f = s.makefile("rb")
+        hello = json.loads(f.readline() or b"null")  # accept greeting
+        if not (isinstance(hello, dict) and hello.get("ready")):
+            raise OSError("no greeting")
         s.sendall(json.dumps({"proto": PROTO, "op": op}).encode() + b"\n")
-        resp = json.loads(_recv_line(s) or b"{}")
+        resp = json.loads(f.readline() or b"{}")
     except (OSError, ValueError):
         sys.stderr.write(f"ntcardd: no daemon on {sock_path}\n")
         return 1

@@ -349,8 +349,10 @@ def compact_pallas(
     ways_env = os.environ.get("NTCARD_COMPACT_WAYS")
     if ways_env:
         ways = int(ways_env)
-        if (block_rows // 8) % ways:
-            raise ValueError(f"NTCARD_COMPACT_WAYS={ways} must divide {block_rows // 8}")
+        if ways < 1 or (block_rows // 8) % ways:
+            raise ValueError(
+                f"NTCARD_COMPACT_WAYS={ways} must be >= 1 and divide {block_rows // 8}"
+            )
     else:
         nwin = block_rows // 8
         ways = next((w for w in (16, 8, 4, 2) if nwin % w == 0), 1)

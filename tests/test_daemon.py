@@ -205,7 +205,10 @@ def test_server_protocol_errors():
             a.sendall(payload)
             a.shutdown(socket.SHUT_WR)
             _serve_one(b)
-            resp = json.loads(a.makefile().readline())
+            f = a.makefile()
+            hello = json.loads(f.readline())  # protocol-2 accept greeting
+            assert hello == {"ready": 1}
+            resp = json.loads(f.readline())
             assert resp["exit"] == want
         finally:
             a.close()
@@ -258,3 +261,29 @@ def test_control_no_daemon(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setenv("NTCARD_DAEMON_SOCK", str(tmp_path / "gone.sock"))
     assert _control("ping") == 1
+
+
+def test_client_bounded_wait_on_wedged_daemon(tmp_path, monkeypatch):
+    """A daemon wedged in backend boot (or busy) accepts connections into
+    the backlog but never greets; the client must give up after
+    NTCARD_DAEMON_READY_SEC and run in-process instead of hanging."""
+    import threading
+
+    sock = str(tmp_path / "wedge.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock)
+    srv.listen(4)  # accepts queue in the backlog; nobody ever greets
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", sock)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_READY_SEC", "0.5")
+    try:
+        t0 = time.monotonic()
+        rc = maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", str(fq)])
+        took = time.monotonic() - t0
+        assert rc is None  # fell back to the in-process path
+        assert took < 5.0  # bounded by the ready timeout, not a hang
+    finally:
+        srv.close()

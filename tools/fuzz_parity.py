@@ -176,6 +176,12 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         env["NTCARD_SUPERBATCH"] = "3"  # scanned stack dispatch
     if seed % 11 < 5:
         env["NTCARD_SHARDED"] = "chains"  # per-device engine (no-op at ndev=1)
+    if seed % 13 < 3 and env.get("NTCARD_ENGINE") not in ("host", "hybrid"):
+        # sparse big-table path via the Pallas interpreter with scatter
+        # deferral at a rotating window (engages at the -r18 cases; a
+        # harmless no-op below r17)
+        env["NTCARD_SCATTER"] = "pallas-interpret"
+        env["NTCARD_SCATTER_DEFER"] = str(2 + seed % 3)
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,

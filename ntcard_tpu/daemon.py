@@ -55,7 +55,8 @@ Knobs:
 Not routed (silent in-process fallback): --help/--version/bad usage,
 multi-host jobs (they own a distributed runtime), non-regular-file inputs
 (a FIFO or /dev/fd process substitution is only readable inside the
-invoking process), and jobs forced onto the jax-free host engine.
+invoking process), jobs forced onto the jax-free host engine, and jobs
+setting any TRACE-time kernel knob (see the caveat below).
 """
 
 from __future__ import annotations
@@ -342,6 +343,16 @@ def _job_eligible(prog: str, argv: list) -> bool:
         return False  # multi-host runs own a distributed runtime
     if os.environ.get("NTCARD_ENGINE") == "host":
         return False  # jax-free path; daemon buys nothing
+    # TRACE-time knobs are baked into jit programs keyed only on shapes
+    # (module docstring caveat): inside a long-lived daemon a job forcing
+    # one could execute a program traced under DIFFERENT knob values while
+    # its host-side bookkeeping assumes the forced path — in the overflow
+    # corner that can drop counts. Such jobs (kernel A/B, forced paths)
+    # run in-process, where the env is authoritative.
+    for knob in ("NTCARD_SCATTER", "NTCARD_KERNEL", "NTCARD_COMPACT",
+                 "NTCARD_COMPACT_WAYS", "NTCARD_FINALIZE"):
+        if os.environ.get(knob):
+            return False
     # probe-parse with stderr suppressed (the in-process run will re-parse
     # and print any usage/error text exactly once)
     if prog == "nthll":

@@ -287,3 +287,19 @@ def test_client_bounded_wait_on_wedged_daemon(tmp_path, monkeypatch):
         assert took < 5.0  # bounded by the ready timeout, not a hang
     finally:
         srv.close()
+
+
+def test_trace_time_knobs_not_routed(tmp_path, monkeypatch):
+    """Jobs forcing trace-time kernel knobs run in-process: inside a
+    long-lived daemon they could execute programs traced under different
+    knob values (jit cache keys carry shapes only), and in the overflow
+    corner that can drop counts."""
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    ok = ["-k12", "-p", "x", str(fq)]
+    assert _job_eligible("ntcard", ok)
+    for knob in ("NTCARD_SCATTER", "NTCARD_KERNEL", "NTCARD_COMPACT",
+                 "NTCARD_COMPACT_WAYS", "NTCARD_FINALIZE"):
+        monkeypatch.setenv(knob, "anything")
+        assert not _job_eligible("ntcard", ok), knob
+        monkeypatch.delenv(knob)

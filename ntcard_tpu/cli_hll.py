@@ -71,15 +71,13 @@ def _main_host(args: List[str], km_len: int, n_bits: int, n_thrd: int = 1) -> in
 def main(argv: Optional[List[str]] = None) -> int:
     args_in = sys.argv[1:] if argv is None else argv
 
-    # NTCARD_DAEMON=1: persistent device-runtime server (see cli.py / daemon.py)
-    import os as _os
+    # Warm-pool daemon routing: a live daemon is used by default, spawned
+    # only under NTCARD_DAEMON=1, disabled by =0 (see cli.py / daemon.py)
+    from ntcard_tpu.daemon import maybe_run_via_daemon
 
-    if _os.environ.get("NTCARD_DAEMON"):
-        from ntcard_tpu.daemon import maybe_run_via_daemon
-
-        rc = maybe_run_via_daemon("nthll", args_in)
-        if rc is not None:
-            return rc
+    rc = maybe_run_via_daemon("nthll", args_in)
+    if rc is not None:
+        return rc
 
     n_bits, km_len = 16, 64
     try:

@@ -22,19 +22,31 @@ The reference has no analog — its engine is a cold OpenMP binary
 jobs is a TPU-native design concern.
 
 Protocol (version 2, newline-delimited JSON over a unix socket):
-  server -> client   {"ready": 1}                      (greeting on accept)
+  server -> client   {"ready": 1, "busy": 0|1}         (greeting on accept)
   client -> server   {"proto": 2, "argv": ["ntcard", ...], "cwd": str,
                       "env": {NTCARD_* vars of the client}}
   server -> client   {"exit": int, "out": str, "err": str}
 Output FILES are written by the daemon process directly (same machine,
-same cwd); stdout/stderr text is captured and relayed. One job at a time.
-The greeting bounds the client's exposure to a wedged or busy daemon: a
-connect lands in the listen backlog even while the daemon is still in its
-backend boot (or mid-job), so the client waits for the greeting only up
-to NTCARD_DAEMON_READY_SEC (10) and otherwise runs in-process — a stuck
-daemon degrades to the cold path instead of hanging the pipeline. Once a
-job is accepted there is deliberately NO reply timeout (a big input runs
-as long as it runs, exactly like the cold path).
+same cwd); stdout/stderr text is captured and relayed.
+
+Concurrency semantics: connections are accepted on threads (so the
+greeting is immediate even mid-job) but JOBS run strictly one at a time
+under a lock — device state, cwd and stdio are process-global. The
+greeting carries a ``busy`` flag; a client that sees busy=1 falls back to
+an in-process run immediately and silently (no 10 s stall, no warning) —
+concurrent pipeline invocations get one warm run and N-1 cold runs.
+``NTCARD_DAEMON_BUSY=queue`` opts a client into queueing behind the
+running job instead (worth it when jobs are ~1 s warm; the reply wait is
+then unbounded, exactly like the cold path's own runtime). A daemon
+wedged in backend boot greets nothing: the client waits only up to
+NTCARD_DAEMON_READY_SEC (10) for the greeting and then falls back,
+silently. Once a request is SENT there is deliberately no reply timeout —
+the daemon will run that job, so abandoning it would double-write.
+
+Default-path routing: with NTCARD_DAEMON unset the CLIs probe the socket
+and use an ALREADY-RUNNING daemon (a live warm runtime is free to use and
+byte-identical); they never spawn one implicitly. NTCARD_DAEMON=1 adds
+spawn-on-first-use; NTCARD_DAEMON=0 disables even the probe.
 
 Caveat (measured, tests/test_defer_scatter.py fixture): NTCARD_* knobs
 read at TRACE time (NTCARD_SCATTER, NTCARD_KERNEL, NTCARD_COMPACT_WAYS)
@@ -47,16 +59,24 @@ Knobs:
   NTCARD_DAEMON=1            CLIs route eligible jobs through the daemon,
                              spawning it on first use (that first job runs
                              in-process while the daemon boots in parallel)
+  NTCARD_DAEMON=0            never probe or use a daemon
+  (unset)                    use a live daemon if one is serving; never spawn
   NTCARD_DAEMON_SOCK=path    socket path [$XDG_RUNTIME_DIR or /tmp]
   NTCARD_DAEMON_IDLE_SEC=n   server exits after n idle seconds [900]
   NTCARD_DAEMON_CONNECT_SEC  client connect timeout before falling back
                              to an in-process run [0.5]
+  NTCARD_DAEMON_BUSY=queue   queue behind a busy daemon instead of falling
+                             back in-process [fallback]
+  NTCARD_DAEMON_REQUEST_SEC  server-side greeting->request read timeout
+                             (a silent client is a bad request) [10]
 
 Not routed (silent in-process fallback): --help/--version/bad usage,
 multi-host jobs (they own a distributed runtime), non-regular-file inputs
-(a FIFO or /dev/fd process substitution is only readable inside the
-invoking process), jobs forced onto the jax-free host engine, and jobs
-setting any TRACE-time kernel knob (see the caveat below).
+OR outputs (a FIFO or /dev/fd process substitution is only readable /
+writable inside the invoking process; `-o /dev/stdout` must reach the
+CLIENT's stdout, not the daemon's), jobs forced onto the jax-free host
+engine, and jobs setting any TRACE-time kernel knob (see the caveat
+below).
 """
 
 from __future__ import annotations
@@ -76,6 +96,21 @@ PROTO = 2
 # EX_PROTOCOL flavors; never returned for a job that actually ran)
 _EXIT_BAD_REQUEST = 70
 _EXIT_PROTO_MISMATCH = 71
+
+
+def _env_float(name: str, default: float, lo: float | None = None) -> float:
+    """Parse a numeric env knob, degrading to the default on malformed
+    values and clamping to a positive floor where one is given (an idle
+    timeout of 0 would make the listener non-blocking and crash the serve
+    loop with BlockingIOError instead of idle-exiting)."""
+    raw = os.environ.get(name)
+    try:
+        v = float(raw) if raw is not None else float(default)
+    except ValueError:
+        v = float(default)
+    if lo is not None:
+        v = max(v, lo)
+    return v
 
 
 def default_sock_path() -> str:
@@ -122,6 +157,7 @@ def _run_job(argv: list, cwd: str, env: dict) -> tuple:
     except OSError:
         old_cwd = "/"  # daemon's own start dir was deleted; anchor somewhere
     touched = set(env) | {k for k in os.environ if k.startswith("NTCARD_")}
+    touched |= {"NTCARD_DAEMON", "NTCARD_FAST_EXIT", "NTCARD_IN_DAEMON"}
     saved = {k: os.environ.get(k) for k in touched}
     out_buf, err_buf = io.StringIO(), io.StringIO()
     old_out, old_err = sys.stdout, sys.stderr
@@ -131,9 +167,14 @@ def _run_job(argv: list, cwd: str, env: dict) -> tuple:
         for k in touched:
             os.environ.pop(k, None)
         os.environ.update(env)
-        # never recurse, never race the parent's exit shortcut
-        os.environ.pop("NTCARD_DAEMON", None)
+        # never recurse (a probe of our own socket would greet busy — or
+        # deadlock in queue mode), never race the parent's exit shortcut
+        os.environ["NTCARD_DAEMON"] = "0"
         os.environ.pop("NTCARD_FAST_EXIT", None)
+        # in-daemon marker: the backend client is live and programs are
+        # cached, so cli._use_host_engine's auto cost model must charge the
+        # device path its WARM floor (~0.25 s), not the cold-start ~4 s
+        os.environ["NTCARD_IN_DAEMON"] = "1"
         sys.stdout, sys.stderr = out_buf, err_buf
         prog = argv[0] if argv else "ntcard"
         try:
@@ -168,17 +209,27 @@ def _serve_one(conn: socket.socket, stats: dict | None = None) -> bool:
     """Handle one connection. Returns False when a stop request asks the
     accept loop to shut down."""
     keep_going = True
+    # bound the protocol exchange: greeting -> request is milliseconds for a
+    # real client, and an accepted socket is BLOCKING regardless of the
+    # listener's timeout — without this, a client that connects and never
+    # sends a complete line would wedge this connection thread forever
+    try:
+        conn.settimeout(_env_float("NTCARD_DAEMON_REQUEST_SEC", 10.0, lo=0.1))
+    except OSError:
+        return True
+    busy = 1 if _job_lock.locked() else 0
     try:
         # greeting: tells the client a live daemon actually ACCEPTED it
-        # (connects land in the backlog even during backend boot / a
-        # running job; the client only waits NTCARD_DAEMON_READY_SEC)
-        conn.sendall(b'{"ready": 1}\n')
+        # (connects land in the backlog only during backend boot now that
+        # accepts are threaded; the client waits NTCARD_DAEMON_READY_SEC).
+        # busy=1 lets the client fall back instantly instead of queueing.
+        conn.sendall(json.dumps({"ready": 1, "busy": busy}).encode() + b"\n")
     except OSError:
         return True  # client gave up waiting; nothing else to do
     try:
         req = json.loads(_recv_line(conn) or b"{}")
     except (OSError, ValueError):
-        req = None
+        req = None  # incl. the read timeout: treat as a bad request
     if not isinstance(req, dict):
         reply = {"exit": _EXIT_BAD_REQUEST, "out": "", "err": "ntcardd: bad request\n"}
     elif req.get("proto") != PROTO:
@@ -253,10 +304,10 @@ def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
     import fcntl
 
     sock_path = sock_path or default_sock_path()
-    idle = float(
-        idle_sec
+    idle = (
+        max(float(idle_sec), 1.0)
         if idle_sec is not None
-        else os.environ.get("NTCARD_DAEMON_IDLE_SEC", "900")
+        else _env_float("NTCARD_DAEMON_IDLE_SEC", 900.0, lo=1.0)
     )
     lock_file = open(sock_path + ".lock", "w")
     try:
@@ -289,21 +340,58 @@ def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
             pass
         return 1
     _prewarm()
-    srv.settimeout(idle)
     sys.stderr.write(f"ntcardd: serving on {sock_path}\n")
     import time
 
     stats = {"jobs": 0, "t0": time.monotonic()}
+    # threaded accepts, serialized jobs: the greeting (with its busy flag)
+    # goes out the moment a client connects even while a job is running —
+    # the actual work still runs one at a time under _job_lock (device
+    # state, cwd and stdio are process-global). Idle expiry counts from the
+    # last connection CLOSE (a running job never expires under itself).
+    stop_evt = threading.Event()
+    state = {"last": time.monotonic(), "active": 0}
+    state_lock = threading.Lock()
+
+    def _conn_thread(conn: socket.socket) -> None:
+        try:
+            with conn:
+                if not _serve_one(conn, stats):
+                    stop_evt.set()
+        finally:
+            with state_lock:
+                state["active"] -= 1
+                state["last"] = time.monotonic()
+
+    srv.settimeout(1.0)
     try:
-        while True:
+        while not stop_evt.is_set():
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
-                return 0  # idle expiry
+                with state_lock:
+                    expired = (
+                        state["active"] == 0
+                        and time.monotonic() - state["last"] > idle
+                    )
+                if expired:
+                    return 0  # idle expiry
+                continue
+            with state_lock:
+                state["active"] += 1
+                state["last"] = time.monotonic()
             stats["uptime"] = time.monotonic() - stats["t0"]
-            with conn:
-                if not _serve_one(conn, stats):
-                    return 0  # stop request
+            threading.Thread(
+                target=_conn_thread, args=(conn,), daemon=True,
+                name="ntcardd-conn",
+            ).start()
+        # stop requested: let in-flight (and already-queued) jobs finish —
+        # their requests were accepted, abandoning them would half-write
+        while True:
+            with state_lock:
+                if state["active"] == 0:
+                    return 0
+            time.sleep(0.05)
     finally:
         try:
             os.unlink(sock_path)
@@ -379,6 +467,19 @@ def _job_eligible(prog: str, argv: list) -> bool:
             sys.stderr = real_err
         if opt.coordinator or opt.num_hosts or opt.host_id >= 0:
             return False
+        # output destinations get the same non-regular-file screening as
+        # inputs: `-o /dev/stdout` must reach the CLIENT's stdout (the
+        # daemon's fd 1 is its log), and `-o >(cmd)` names a /dev/fd that
+        # does not exist in the daemon process at all
+        out_paths = [opt.output, opt.save_sketch]
+        out_paths += [f"{opt.prefix}_k{k}.hist" for k in opt.k_list if opt.prefix]
+        for p in out_paths:
+            if not p:
+                continue
+            if p.startswith(("/dev/", "/proc/")):
+                return False
+            if os.path.exists(p) and not os.path.isfile(p):
+                return False
     import stat
 
     from ntcard_tpu.io.readers import expand_file_args
@@ -403,52 +504,76 @@ def _job_eligible(prog: str, argv: list) -> bool:
 
 
 def maybe_run_via_daemon(prog: str, argv: list) -> int | None:
-    """CLI hook: run this job through the persistent daemon when enabled and
-    eligible. Returns the job's exit code, or None meaning "run in-process"
-    (daemon disabled, job ineligible, or daemon not up yet — in which case
-    a daemon was spawned so the NEXT invocation lands warm)."""
-    if os.environ.get("NTCARD_DAEMON") not in ("1", "auto"):
+    """CLI hook: run this job through the persistent daemon. Returns the
+    job's exit code, or None meaning "run in-process".
+
+    Called unconditionally by both CLIs. NTCARD_DAEMON=0 disables it;
+    NTCARD_DAEMON=1/auto routes eligible jobs AND spawns a daemon on first
+    use (that first job runs in-process while the daemon boots); with the
+    variable UNSET, an already-serving daemon is still used — a live warm
+    runtime is strictly faster and byte-identical, so the product default
+    takes it — but none is ever spawned implicitly."""
+    mode = os.environ.get("NTCARD_DAEMON", "")
+    if mode == "0" or os.environ.get("NTCARD_IN_DAEMON"):
         return None
+    opt_in = mode in ("1", "auto")
+    sock_path = default_sock_path()
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(_env_float("NTCARD_DAEMON_CONNECT_SEC", 0.5, lo=0.05))
+    try:
+        s.connect(sock_path)
+    except OSError:
+        # no daemon serving. Opted-in clients spawn one for NEXT time (the
+        # probe-only default never does) — but only for jobs that would
+        # actually route; ineligible jobs must not boot a backend for nothing
+        s.close()
+        if opt_in and _job_eligible(prog, argv):
+            _spawn_daemon(sock_path)
+        return None  # this job runs in-process
     if not _job_eligible(prog, argv):
+        s.close()
         return None
     try:
         cwd = os.getcwd()
     except OSError:
-        return None  # deleted cwd: the in-process path decides what breaks
-    sock_path = default_sock_path()
-    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    s.settimeout(float(os.environ.get("NTCARD_DAEMON_CONNECT_SEC", "0.5")))
-    try:
-        s.connect(sock_path)
-    except OSError:
         s.close()
-        _spawn_daemon(sock_path)
-        return None  # this job runs in-process while the daemon boots
+        return None  # deleted cwd: the in-process path decides what breaks
     env = {
         k: v
         for k, v in os.environ.items()
         if k.startswith("NTCARD_") and k != "NTCARD_DAEMON"
     }
     req = {"proto": PROTO, "argv": [prog] + list(argv), "cwd": cwd, "env": env}
+    sent = False
     try:
         # wait (bounded) for the accept-greeting: a daemon wedged in its
-        # backend boot, or busy with another job, never greets — run this
-        # job in-process instead of hanging on a connected-but-unserved
-        # socket. AFTER the greeting the reply wait is unbounded on
-        # purpose: a big input legitimately runs for as long as it runs.
-        s.settimeout(float(os.environ.get("NTCARD_DAEMON_READY_SEC", "10")))
+        # backend boot never greets — run in-process instead of hanging on
+        # a connected-but-unserved socket. A busy daemon DOES greet (conn
+        # threads) with busy=1: fall back immediately unless the client
+        # opted into queueing. Both fallbacks are silent — they are the
+        # designed degradation, not a fault. AFTER the request is sent the
+        # reply wait is unbounded on purpose: the daemon WILL run the job
+        # (abandoning it would double-write), and a big input legitimately
+        # runs for as long as it runs.
+        s.settimeout(_env_float("NTCARD_DAEMON_READY_SEC", 10.0, lo=0.05))
         f = s.makefile("rb")
         hello = json.loads(f.readline() or b"null")
         if not (isinstance(hello, dict) and hello.get("ready")):
             return None
+        if hello.get("busy") and os.environ.get("NTCARD_DAEMON_BUSY") != "queue":
+            return None
         s.settimeout(None)
         s.sendall(json.dumps(req).encode() + b"\n")
+        sent = True
         resp = json.loads(f.readline() or b"null")
     except (OSError, ValueError):
-        # the daemon died mid-job (or never served us); rerunning
-        # in-process is safe (outputs are plain files, a partial
-        # double-write is overwritten) but worth a note
-        sys.stderr.write("ntcard: daemon connection lost; running in-process\n")
+        if sent:
+            # the daemon died mid-job; rerunning in-process is safe
+            # (outputs are plain files, a partial double-write is
+            # overwritten) but worth a note
+            sys.stderr.write(
+                "ntcard: daemon connection lost; running in-process\n"
+            )
         return None
     finally:
         s.close()

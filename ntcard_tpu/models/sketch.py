@@ -19,6 +19,7 @@ so 1-shard and N-shard runs are bit-identical by construction.
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 from typing import Dict, Sequence
 
@@ -67,7 +68,14 @@ def _defer_slots(r_bits: int) -> int:
         return 0
     env = os.environ.get("NTCARD_SCATTER_DEFER")
     if env is not None:
-        return max(0, int(env))
+        try:
+            return max(0, int(env))
+        except ValueError:
+            # malformed knob degrades to the default window like the sibling
+            # NTCARD_* knobs instead of aborting sketch construction
+            sys.stderr.write(
+                f"ntcard: ignoring malformed NTCARD_SCATTER_DEFER={env!r}\n"
+            )
     return 8
 
 

@@ -6,6 +6,12 @@ JAX_PLATFORMS to the real TPU platform — override it unconditionally."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The CLIs now use an already-serving warm-pool daemon by DEFAULT
+# (daemon.py probe mode). Tests must never route through a stray daemon on
+# the machine's default socket path; the daemon tests opt back in with
+# explicit NTCARD_DAEMON=1 + a private NTCARD_DAEMON_SOCK.
+os.environ.setdefault("NTCARD_DAEMON", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -75,8 +75,8 @@ def _run_pair(tmp_path, daemon_sock, monkeypatch, argv_of):
     file payloads keyed by name."""
     direct_pref = tmp_path / "direct"
     via_pref = tmp_path / "via"
-    # direct (no daemon env)
-    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    # direct (daemon routing disabled)
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
     assert cli.main(argv_of(direct_pref)) == 0
     # via daemon
     monkeypatch.setenv("NTCARD_DAEMON", "1")
@@ -121,7 +121,7 @@ def test_daemon_env_scoped_per_job(daemon, tmp_path, monkeypatch):
     fq = tmp_path / "r.fq"
     _write_fastq(fq, seed=11)
     base = ["-k32", "-r12", "-c30"]
-    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
     assert cli.main(base + ["-p", str(tmp_path / "direct"), str(fq)]) == 0
     golden = (tmp_path / "direct_k32.hist").read_bytes()
     monkeypatch.setenv("NTCARD_DAEMON", "1")
@@ -140,7 +140,7 @@ def test_daemon_nthll_routes(daemon, tmp_path, monkeypatch, capsys):
 
     fq = tmp_path / "r.fq"
     _write_fastq(fq, seed=3)
-    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
     assert cli_hll.main(["-k32", str(fq)]) == 0
     direct = capsys.readouterr().out
     monkeypatch.setenv("NTCARD_DAEMON", "1")
@@ -176,8 +176,8 @@ def test_eligibility_guards(tmp_path, monkeypatch):
 
 
 def test_client_disabled_and_no_daemon(tmp_path, monkeypatch):
-    # disabled: pure no-op
-    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    # NTCARD_DAEMON=0: pure no-op (not even a socket probe is observable)
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
     assert maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", "f.fq"]) is None
     # enabled but no daemon up: returns None (in-process) after spawning;
     # point the spawn at a sock dir we control and a no-op spawner
@@ -190,6 +190,16 @@ def test_client_disabled_and_no_daemon(tmp_path, monkeypatch):
     monkeypatch.setattr("ntcard_tpu.daemon._spawn_daemon", lambda p: spawned.append(p))
     assert maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", str(fq)]) is None
     assert spawned == [str(tmp_path / "none.sock")]
+    # UNSET (the product default): a live daemon would be used, but none is
+    # ever spawned — and an ineligible job must not trigger a spawn even
+    # when opted in
+    spawned.clear()
+    monkeypatch.delenv("NTCARD_DAEMON")
+    assert maybe_run_via_daemon("ntcard", ["-k12", "-p", "x", str(fq)]) is None
+    assert spawned == []
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    assert maybe_run_via_daemon("ntcard", ["--help"]) is None
+    assert spawned == []
 
 
 def test_server_protocol_errors():
@@ -207,7 +217,7 @@ def test_server_protocol_errors():
             _serve_one(b)
             f = a.makefile()
             hello = json.loads(f.readline())  # protocol-2 accept greeting
-            assert hello == {"ready": 1}
+            assert hello.get("ready") == 1 and hello.get("busy") == 0
             resp = json.loads(f.readline())
             assert resp["exit"] == want
         finally:
@@ -287,6 +297,191 @@ def test_client_bounded_wait_on_wedged_daemon(tmp_path, monkeypatch):
         assert took < 5.0  # bounded by the ready timeout, not a hang
     finally:
         srv.close()
+
+
+def _daemon_jobs(sock: str) -> int:
+    """Job counter from the daemon's --status ping output."""
+    import re
+
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(10)
+    s.connect(sock)
+    f = s.makefile("rb")
+    assert json.loads(f.readline())["ready"] == 1
+    s.sendall(json.dumps({"proto": PROTO, "op": "ping"}).encode() + b"\n")
+    resp = json.loads(f.readline())
+    s.close()
+    m = re.search(r"jobs (\d+)", resp["out"])
+    assert m, resp
+    return int(m.group(1))
+
+
+def test_noenv_probe_uses_live_daemon(daemon, tmp_path, monkeypatch):
+    """The PRODUCT DEFAULT (no NTCARD_DAEMON env at all) must route through
+    an already-serving daemon — the round-5 'TPU win on the default path'
+    contract — verified via the daemon's own job counter."""
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, seed=21)
+    monkeypatch.delenv("NTCARD_DAEMON", raising=False)
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    before = _daemon_jobs(daemon)
+    assert cli.main(["-k16", "-r10", "-c20", "-p", str(tmp_path / "ne"), str(fq)]) == 0
+    assert _daemon_jobs(daemon) == before + 1
+    assert (tmp_path / "ne_k16.hist").exists()
+    # NTCARD_DAEMON=0 with the same live daemon: stays in-process
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
+    assert cli.main(["-k16", "-r10", "-c20", "-p", str(tmp_path / "off"), str(fq)]) == 0
+    assert _daemon_jobs(daemon) == before + 1
+
+
+def test_busy_greeting_and_fallback(monkeypatch, tmp_path):
+    """A busy daemon greets busy=1 instantly; the default client falls back
+    silently and immediately, a queue-mode client proceeds."""
+    import threading
+
+    from ntcard_tpu import daemon as dmod
+
+    # server side: greeting carries busy=1 while the job lock is held
+    a, b = socket.socketpair()
+    try:
+        with dmod._job_lock:
+            t = threading.Thread(target=dmod._serve_one, args=(b,), daemon=True)
+            t.start()
+            hello = json.loads(a.makefile("rb").readline())
+            assert hello == {"ready": 1, "busy": 1}
+            a.close()
+        t.join(5)
+    finally:
+        b.close()
+
+    # client side against a fake always-busy server
+    sock = str(tmp_path / "busy.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock)
+    srv.listen(4)
+    got_request = []
+
+    def fake_server():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            conn.sendall(b'{"ready": 1, "busy": 1}\n')
+            try:
+                conn.settimeout(2)
+                line = conn.makefile("rb").readline()
+                if line:
+                    got_request.append(line)
+                    conn.sendall(b'{"exit": 0, "out": "", "err": ""}\n')
+            except OSError:
+                pass
+            conn.close()
+
+    t = threading.Thread(target=fake_server, daemon=True)
+    t.start()
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", sock)
+    monkeypatch.delenv("NTCARD_DAEMON_BUSY", raising=False)
+    argv = ["-k12", "-p", "x", str(fq)]
+    t0 = time.monotonic()
+    import io as io_mod
+    import sys as sys_mod
+
+    err_cap = io_mod.StringIO()
+    real_err = sys_mod.stderr
+    sys_mod.stderr = err_cap
+    try:
+        rc = maybe_run_via_daemon("ntcard", argv)
+    finally:
+        sys_mod.stderr = real_err
+    assert rc is None  # immediate in-process fallback
+    assert time.monotonic() - t0 < 2.0  # no READY_SEC stall
+    assert err_cap.getvalue() == ""  # neutral: no scary message
+    assert got_request == []  # never sent the job
+    # queue mode: the request goes through despite busy=1
+    monkeypatch.setenv("NTCARD_DAEMON_BUSY", "queue")
+    assert maybe_run_via_daemon("ntcard", argv) == 0
+    assert len(got_request) == 1
+    srv.close()
+
+
+def test_output_destinations_not_routed(tmp_path, monkeypatch):
+    """Non-regular output destinations fall back in-process: the daemon's
+    fd 1 is its log file, and a /dev/fd process substitution does not exist
+    in the daemon's process at all."""
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, n_reads=5)
+    assert _job_eligible("ntcard", ["-k12", "-p", str(tmp_path / "ok"), str(fq)])
+    assert not _job_eligible("ntcard", ["-k12", "-o", "/dev/stdout", str(fq)])
+    assert not _job_eligible("ntcard", ["-k12", "-o", "/dev/fd/63", str(fq)])
+    assert not _job_eligible("ntcard", ["-k12", "-p", "/dev/fd/63", str(fq)])
+    # an existing FIFO as the concrete output target
+    fifo = tmp_path / "out.tsv"
+    os.mkfifo(fifo)
+    assert not _job_eligible("ntcard", ["-k12", "-o", str(fifo), str(fq)])
+    fifo2 = tmp_path / "pref_k12.hist"
+    os.mkfifo(fifo2)
+    assert not _job_eligible(
+        "ntcard", ["-k12", "-p", str(tmp_path / "pref"), str(fq)]
+    )
+    # --save-sketch to a device path
+    assert not _job_eligible(
+        "ntcard", ["-k12", "-p", str(tmp_path / "ok2"), "--save-sketch",
+                   "/dev/null", str(fq)]
+    )
+
+
+def test_env_knob_robustness(monkeypatch):
+    """Malformed / degenerate numeric knobs degrade to defaults instead of
+    crashing the server loop or the client."""
+    from ntcard_tpu.daemon import _env_float
+
+    monkeypatch.setenv("NTCARD_DAEMON_IDLE_SEC", "0")
+    assert _env_float("NTCARD_DAEMON_IDLE_SEC", 900.0, lo=1.0) == 1.0
+    monkeypatch.setenv("NTCARD_DAEMON_IDLE_SEC", "bogus")
+    assert _env_float("NTCARD_DAEMON_IDLE_SEC", 900.0, lo=1.0) == 900.0
+    monkeypatch.delenv("NTCARD_DAEMON_IDLE_SEC")
+    assert _env_float("NTCARD_DAEMON_IDLE_SEC", 900.0, lo=1.0) == 900.0
+    # NTCARD_SCATTER_DEFER='on' must not abort sketch construction
+    from ntcard_tpu.models.sketch import _defer_slots
+
+    monkeypatch.setenv("NTCARD_SCATTER_DEFER", "on")
+    assert _defer_slots(27) in (0, 8)  # default window (0 if sparse off)
+    monkeypatch.delenv("NTCARD_SCATTER_DEFER")
+
+
+def test_read_timeout_does_not_wedge_server(monkeypatch):
+    """A client that connects and never sends a complete request line gets
+    a bad-request reply after the read timeout instead of wedging the
+    connection thread (ADVICE r4: accepted sockets are blocking)."""
+    import threading
+
+    from ntcard_tpu import daemon as dmod
+
+    monkeypatch.setenv("NTCARD_DAEMON_REQUEST_SEC", "0.5")
+    a, b = socket.socketpair()
+    done = []
+
+    def run():
+        dmod._serve_one(b)
+        done.append(True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    f = a.makefile("rb")
+    hello = json.loads(f.readline())
+    assert hello["ready"] == 1
+    a.sendall(b'{"proto": 2')  # incomplete line, then silence
+    t.join(10)
+    assert done, "server thread wedged on a silent client"
+    resp = json.loads(f.readline())
+    assert resp["exit"] == 70
+    a.close()
+    b.close()
 
 
 def test_trace_time_knobs_not_routed(tmp_path, monkeypatch):

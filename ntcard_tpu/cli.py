@@ -451,6 +451,17 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
                 boot["sketch"] = ChainedCountTableSketch(
                     ks, opt.s_bits, opt.r_bits, stride, gap_positions=gap_positions
                 )
+                if wire_fmt == "quad2" and n_super == 1:
+                    # start the update-executable loads NOW (utils/aot):
+                    # the quad2 wire geometry is fully determined by
+                    # (batch_rows, stride), so the boot thread can pre-load
+                    # the exact programs the dispatch loop will run while
+                    # decode and the first H2D puts proceed underneath
+                    from ntcard_tpu.io.packing import quad2_wire_rows
+
+                    boot["sketch"].warm_update(
+                        quad2_wire_rows(batch_rows), stride, f"quad2:{halo}"
+                    )
             boot["t_ready"] = time.monotonic() - t0
         except BaseException as e:
             boot_err.append(e)

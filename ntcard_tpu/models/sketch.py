@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ntcard_tpu.ops.nthash import sketch_scan
+from ntcard_tpu.utils.aot import aot_jit
 
 
 def _u64_acc_add(hi, lo, add_u32):
@@ -280,7 +281,7 @@ def _update_pallas(tables, f1s, codes, ks, stride, s_bits, r_bits, packed, defer
 
 
 @partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
@@ -299,7 +300,7 @@ def _update(
 
 
 @partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0,),
 )
@@ -322,7 +323,7 @@ def _update_first(
 
 
 @partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0,),
 )
@@ -345,7 +346,7 @@ def _update_defer(
     return vals, f, flags, ocount + flags.sum(dtype=jnp.uint32)
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(aot_jit, donate_argnums=(0,))
 def _flush_scatter(tables, slots):
     """Apply S deferred batches' compacted buffers in one scatter per k.
     ``slots``: tuple over batches of tuples over k of int32[cap] buffers
@@ -361,7 +362,7 @@ def _flush_scatter(tables, slots):
 
 
 @partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0, 1),
 )
@@ -388,7 +389,7 @@ def _update_stack(
 
 
 @partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ki", "ks", "stride", "s_bits", "r_bits", "mask_positions", "packed"),
     donate_argnums=(0,),
 )
@@ -410,7 +411,7 @@ def _replay_update(
     return tuple(new)
 
 
-@partial(jax.jit, static_argnames=("nk", "n"))
+@partial(aot_jit, static_argnames=("nk", "n"))
 def _make_tables(nk, n):
     """All nK per-k table buffers in ONE program: three separate GiB-scale
     jnp.zeros calls cost ~2 s of per-call tunnel overhead at init
@@ -418,7 +419,7 @@ def _make_tables(nk, n):
     return tuple(jnp.zeros((n,), jnp.int32) for _ in range(nk))
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(aot_jit, donate_argnums=(0,))
 def _merge_add(a, b):
     # donate only `a` (the output aliases it); donating `b` too is unusable
     # and makes every run print a donation warning. tree.map handles both
@@ -426,14 +427,14 @@ def _merge_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
-@jax.jit
+@aot_jit
 def _hist_row_device(row):
     """int32[r_buck] -> int32[65536] histogram of the mod-2^16-wrapped
     counter values (compEst's p[sample][v], ntcard.cpp:240-247)."""
     return jnp.zeros((65536,), jnp.int32).at[row & 0xFFFF].add(1)
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(aot_jit, static_argnames=("nbins",))
 def _hist_row_device_small(row, nbins):
     """int32[r_buck] -> int32[nbins] counter-value histogram via per-bin
     compare-reduce — no scatter. Each bin costs a full-row reduction
@@ -502,7 +503,7 @@ def _sparse_hist_rows(tables, r_buck, nbins, interp):
     return rows
 
 
-@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
+@partial(aot_jit, static_argnames=("r_buck", "nbins", "interp"))
 def _hists_all_sparse(tables, r_buck, nbins, interp):
     """Every (k, sample) row's sparse hist in ONE program and ONE fetched
     array — [2nK, nbins + 1] with the row's nonzero count in the last
@@ -511,7 +512,7 @@ def _hists_all_sparse(tables, r_buck, nbins, interp):
     return jnp.stack(_sparse_hist_rows(tables, r_buck, nbins, interp))
 
 
-@partial(jax.jit, static_argnames=("r_buck", "nbins", "interp"))
+@partial(aot_jit, static_argnames=("r_buck", "nbins", "interp"))
 def _finalize_bundle(tables, f1s, ocount, r_buck, nbins, interp):
     """Everything the device finalize needs in ONE program and ONE fetched
     array ([2nK+1, nbins+1] int32): every (k, sample) row's sparse counter
@@ -530,7 +531,7 @@ def _finalize_bundle(tables, f1s, ocount, r_buck, nbins, interp):
     return jnp.stack(rows)
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(aot_jit, static_argnames=("nbins",))
 def _hist_row_fallback(row, nbins):
     """Exact full-row scatter hist (bins 0..nbins-1) — the rare dense-table
     fallback the host dispatches when a row's in-range nonzero count
@@ -712,6 +713,11 @@ class ChainedCountTableSketch:
     def merge_host_(self, host) -> None:
         self._chains[0].merge_host_(host)
 
+    def warm_update(self, wire_rows: int, wire_cols: int, packed) -> list:
+        # the update programs are module-level and shape-keyed, so one
+        # preload serves every chain
+        return self._chains[0].warm_update(wire_rows, wire_cols, packed)
+
     def warm_finalize(self, cov_max: int = 65535) -> list:
         """Pre-load the finalize executables (CountTableSketch.warm_finalize)
         — one load serves every chain (identical program signatures). With
@@ -809,6 +815,51 @@ class CountTableSketch(DeferredReplayMixin):
             self._f1_loaded[i] + ((int(vals[i, 0]) << 32) | int(vals[i, 1]))
             for i in range(len(self.ks))
         ]
+
+    def warm_update(self, wire_rows: int, wire_cols: int, packed) -> list:
+        """Pre-load the first-batch and steady-state update executables on
+        background threads (utils/aot.preload) for a known wire geometry —
+        on the tunneled runtime each program's first call otherwise pays a
+        ~0.7-4 s executable load serially in front of the first dispatch;
+        started from the CLI boot thread the loads overlap input decode and
+        the first H2D puts. A geometry mismatch (e.g. a per-batch nibble
+        fallback) just wastes the preload — the real call loads its own
+        program exactly as before. Returns the started threads."""
+        import threading
+
+        from jax import ShapeDtypeStruct
+
+        nk = len(self.ks)
+        spec_args = (
+            ShapeDtypeStruct((nk, 2), jnp.uint32),
+            ShapeDtypeStruct((), jnp.uint32),
+            ShapeDtypeStruct((wire_rows, wire_cols), jnp.uint8),
+            self.ks,
+            self.stride,
+            self.s_bits,
+            self.r_bits,
+            self.gap_positions,
+            packed,
+        )
+        targets = [(_update_first, spec_args)]
+        if self._defer_max > 0:
+            targets.append((_update_defer, spec_args))
+        else:
+            tables_spec = tuple(
+                ShapeDtypeStruct((2 * self.r_buck + 1,), jnp.int32)
+                for _ in range(nk)
+            )
+            targets.append((_update, (tables_spec,) + spec_args))
+        threads = []
+        for fn, args in targets:
+            if not hasattr(fn, "preload"):
+                continue
+            t = threading.Thread(
+                target=fn.preload, args=args, daemon=True, name="ntcard-aot-warm"
+            )
+            t.start()
+            threads.append(t)
+        return threads
 
     def update(self, codes: np.ndarray, packed: bool = False) -> None:
         """codes: [B, L] uint8, or a wire batch when ``packed`` (see

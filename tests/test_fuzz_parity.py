@@ -11,7 +11,7 @@ from pathlib import Path
 
 import pytest
 
-from tools.fuzz_parity import build_reference, run_case, run_case_nthll
+from tools.fuzz_parity import build_reference, run_case, run_case_nthll, stop_daemon
 
 REF = Path("/tmp/ntcard_bench/ntcard_ref")
 REF_HLL = Path("/tmp/ntcard_bench/nthll_ref")
@@ -21,7 +21,8 @@ REF_HLL = Path("/tmp/ntcard_bench/nthll_ref")
 def ref_exe():
     if not build_reference(REF):
         pytest.skip("reference binary unavailable")
-    return REF
+    yield REF
+    stop_daemon()  # seeds with seed%4==1 route through the daemon arm
 
 
 @pytest.mark.parametrize("seed", [101, 102, 103, 104])

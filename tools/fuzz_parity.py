@@ -131,6 +131,66 @@ def random_flags(rng: random.Random):
     return flags, k
 
 
+_DAEMON: dict = {}
+
+
+def _daemon_sock(workdir: Path) -> str | None:
+    """One warm-pool daemon per fuzz session (CPU 8-device mesh, private
+    socket) for the daemon rotation arm; spawned lazily, stopped by
+    stop_daemon(). Returns None if it fails to come up (cases then run the
+    plain arms — never a spurious mismatch)."""
+    import socket
+    import time
+
+    if "sock" in _DAEMON:
+        return _DAEMON["sock"]
+    sock = str(workdir / "fuzzd.sock")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        NTCARD_DAEMON_SOCK=sock,
+        NTCARD_DAEMON_IDLE_SEC="600",
+    )
+    env.pop("NTCARD_DAEMON", None)
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "ntcard_tpu.daemon"],
+            cwd=str(Path(__file__).resolve().parents[1]),
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            stdin=subprocess.DEVNULL,
+        )
+    except OSError:
+        _DAEMON["sock"] = None
+        return None
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            s.connect(sock)
+            s.close()
+            _DAEMON.update(sock=sock, proc=proc)
+            return sock
+        except OSError:
+            s.close()
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+    _DAEMON["sock"] = None
+    return None
+
+
+def stop_daemon() -> None:
+    proc = _DAEMON.pop("proc", None)
+    _DAEMON.pop("sock", None)
+    if proc is not None and proc.poll() is None:
+        proc.terminate()  # exact PID we spawned
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str | None:
     """Returns None on parity, else a description of the mismatch."""
     rng = random.Random(seed)
@@ -182,6 +242,19 @@ def run_case(seed: int, ref_exe: Path, workdir: Path, keep: bool = False) -> str
         # harmless no-op below r17)
         env["NTCARD_SCATTER"] = "pallas-interpret"
         env["NTCARD_SCATTER_DEFER"] = str(2 + seed % 3)
+    if seed % 4 == 1 and env.get("NTCARD_ENGINE") != "host":
+        # daemon rotation arm (VERDICT r4 #7): route through the live
+        # warm-pool daemon so its byte parity rests on the same fuzz
+        # surface as every other engine. Trace-time kernel knobs make a
+        # job ineligible (daemon refuses them) — strip them so the case
+        # actually routes; the daemon's own mesh is the 8-device CPU one,
+        # so 1-device cases double as shard-invariance checks.
+        sock = _daemon_sock(workdir)
+        if sock:
+            env.pop("NTCARD_SCATTER", None)
+            env["NTCARD_DAEMON"] = "1"
+            env["NTCARD_DAEMON_SOCK"] = sock
+            env["NTCARD_DAEMON_CONNECT_SEC"] = "5"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli"] + flags + outargs("tpu") + file_args,
         capture_output=True, text=True, timeout=600, env=env,
@@ -238,6 +311,12 @@ def run_case_nthll(seed: int, ref_exe: Path, workdir: Path) -> str | None:
         env["NTCARD_WIRE"] = "quad2"
     if seed % 11 < 5:
         env["NTCARD_SHARDED"] = "chains"
+    if seed % 4 == 1 and env.get("NTCARD_ENGINE") != "host":
+        sock = _daemon_sock(workdir)  # daemon arm (see run_case)
+        if sock:
+            env["NTCARD_DAEMON"] = "1"
+            env["NTCARD_DAEMON_SOCK"] = sock
+            env["NTCARD_DAEMON_CONNECT_SEC"] = "5"
     r2 = subprocess.run(
         [sys.executable, "-m", "ntcard_tpu.cli_hll"] + flags + [str(inp)],
         capture_output=True, text=True, timeout=600, env=env,
@@ -275,11 +354,14 @@ def main() -> int:
         runner = run_case
     work = Path(tempfile.mkdtemp(prefix="ntcard_fuzz_"))
     bad = 0
-    for i in range(args.seed, args.seed + args.n):
-        msg = runner(i, ref, work) if runner is run_case_nthll else run_case(i, ref, work, keep=args.keep)
-        status = "ok" if msg is None else f"MISMATCH: {msg}"
-        print(f"case {i}: {status}", flush=True)
-        bad += msg is not None
+    try:
+        for i in range(args.seed, args.seed + args.n):
+            msg = runner(i, ref, work) if runner is run_case_nthll else run_case(i, ref, work, keep=args.keep)
+            status = "ok" if msg is None else f"MISMATCH: {msg}"
+            print(f"case {i}: {status}", flush=True)
+            bad += msg is not None
+    finally:
+        stop_daemon()
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
     print(f"{args.n - bad}/{args.n} cases match")

@@ -530,11 +530,15 @@ def _measure_gloo_scaling(deadline_left: float) -> None:
             cache.write_text(json.dumps(data))
         eff = float(data.get("stream_efficiency", 0.0))
         # sanity window: co-tenant load on the shared box can push the
-        # pinned-core measurement outside [0, 1] (observed 2.55 with a test
-        # suite running) — such a sample is invalid, not flattering; drop
-        # it and the cache so the next run re-measures
-        if data.get("merge_bit_exact") and 0.3 <= eff <= 1.05:
-            PARTIAL["weak_scaling_2proc_gloo"] = min(eff, 1.0)
+        # measurement outside [0, 1] (observed 2.55 with a test suite
+        # running) — such a sample is invalid, not flattering; drop it and
+        # the cache so the next run re-measures. The RAW number at the
+        # deliberately small proxy input is fixed-cost-dominated (the
+        # one-per-job Gloo merge + per-process program setup against a
+        # ~1.6 s stream); the 1 Gbp/host extrapolation is the
+        # north-star-scale claim (merge cost measured, stream scaled).
+        if data.get("merge_bit_exact") and 0.05 <= eff <= 1.05:
+            PARTIAL["weak_scaling_2proc_gloo_raw_150k"] = min(eff, 1.0)
             PARTIAL["weak_scaling_2proc_gloo_1gbp"] = data[
                 "efficiency_extrapolated_1gbp_per_host"
             ]

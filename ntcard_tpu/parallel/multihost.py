@@ -179,8 +179,19 @@ def merged_finalize(sketch, cov_max: int = 65535):
     f1_all = multihost_utils.process_allgather(f1_local).sum(axis=0)
     nbins = min(cov_max + 1, 65536)
 
+    # table-size routing: the reduce-scatter path exists so GiB-scale
+    # default-r27 tables never materialize per-process (P x 3.2 GiB host
+    # allgathers); for SMALL tables the collective program's per-run cost
+    # dominates (measured on the 2-process Gloo proxy at r16: device path
+    # finalize 5-7 s vs host allgather 0.8-2.4 s for 512 KB of tables) —
+    # ship the bytes, skip the machinery
+    table_bytes = len(sketch.ks) * (2 * sketch.r_buck + 1) * 4
+    small = table_bytes * jax.process_count() <= int(
+        os.environ.get("NTCARD_MULTIHOST_HOST_MAX", 256 << 20)
+    )
     use_host = (
-        os.environ.get("NTCARD_MULTIHOST_FINALIZE") == "host"
+        os.environ.get("NTCARD_MULTIHOST_FINALIZE", "host" if small else "")
+        == "host"
         or sketch.r_buck % jax.process_count() != 0
         or nbins >= 65536
     )

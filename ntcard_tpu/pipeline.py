@@ -10,6 +10,7 @@ semantics are preserved exactly (ops/nthash.py docstring).
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 import time
@@ -544,6 +545,10 @@ def device_prefetch(
             st["h2d_bytes"] = st.get("h2d_bytes", 0) + int(getattr(p, "nbytes", 0))
             yield d
 
+    # put-ahead depth A/B knob (VERDICT r4 #3 — streaming vs idle link gap):
+    # more in-flight device buffers keep the put thread busy across the
+    # dispatch RPCs' latency at the cost of HBM for the extra wires
+    depth = int(os.environ.get("NTCARD_PUT_DEPTH", depth))
     decoded = EagerPrefetch(decode_stage(iterator), depth=decode_depth or max(depth, 8))
     return EagerPrefetch(put_stage(decoded), depth=depth, close_also=decoded)
 

@@ -607,7 +607,30 @@ def _control(op: str) -> int:
     return int(resp.get("exit", 1))
 
 
+_USAGE = """Usage: ntcardd [--status | --stop | --help]
+
+Persistent warm-pool runtime server for the ntcard/nthll CLIs. With no
+argument, serves on the socket (NTCARD_DAEMON_SOCK, default
+/tmp/ntcard-daemon-<uid>.sock) until idle for NTCARD_DAEMON_IDLE_SEC
+(900). A LIVE daemon is used by the CLIs automatically (no env needed);
+NTCARD_DAEMON=1 also makes them spawn one on first use, =0 opts out.
+
+Jobs run one at a time; concurrent invocations see a busy greeting and
+fall back to normal in-process runs instantly (NTCARD_DAEMON_BUSY=queue
+to queue instead). Results are byte-identical to daemon-less runs.
+
+  --status   ping the serving daemon (pid, jobs served, uptime)
+  --stop     ask it to finish the current job and exit
+Env: NTCARD_DAEMON_SOCK, NTCARD_DAEMON_IDLE_SEC, NTCARD_DAEMON_WARM
+     ("-k64,96,128" prewarms those flag shapes at boot),
+     NTCARD_DAEMON_CONNECT_SEC, NTCARD_DAEMON_READY_SEC,
+     NTCARD_DAEMON_REQUEST_SEC, NTCARD_DAEMON_BUSY.
+"""
+
 if __name__ == "__main__":
+    if "--help" in sys.argv[1:] or "-h" in sys.argv[1:]:
+        sys.stderr.write(_USAGE)
+        raise SystemExit(0)
     if "--status" in sys.argv[1:]:
         raise SystemExit(_control("ping"))
     if "--stop" in sys.argv[1:]:

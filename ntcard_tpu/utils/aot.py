@@ -105,7 +105,7 @@ def _prune(cache_dir: str, cap: int = 256) -> None:
             key=lambda n: os.path.getmtime(os.path.join(cache_dir, n))
         )
         for n in names[: len(names) - cap]:
-            for suffix in (".bin", ".tree"):
+            for suffix in (".bin", ".tree", ".ok"):
                 try:
                     os.unlink(os.path.join(cache_dir, n[:-4] + suffix))
                 except OSError:
@@ -238,29 +238,36 @@ class _AotFunction:
             compiled = deserialize_and_load(
                 payload, in_tree, out_tree, execution_devices=dev_list
             )
-            # validate NOW, on dummy zero inputs: a broken loader can
-            # produce an executable that loads cleanly and fails (or
-            # poisons its async outputs) at execution — observed on the
+            # validate on FIRST deserialize, on dummy zero inputs: a broken
+            # loader can produce an executable that loads cleanly and fails
+            # (or poisons its async outputs) at execution — observed on the
             # XLA:CPU AOT path. Dummies mean a failure consumes no live
             # (possibly donated) state; the block forces async errors out.
-            import jax.numpy as jnp
+            # A prior process's successful validation (the .ok marker)
+            # stands in — the failure mode is deterministic per stack, and
+            # the marker saves the ~0.7 s dummy execution on every later
+            # cold start (load errors are still caught above regardless).
+            if not os.path.exists(base + ".ok"):
+                import jax.numpy as jnp
 
-            dummies = jax.tree_util.tree_map(
-                lambda v: jax.device_put(
-                    jnp.zeros(v.shape, v.dtype), dev_list[0]
-                ),
-                arrays,
-            )
-            out = compiled(*dummies)
-            jax.block_until_ready(out)
-            del out, dummies
+                dummies = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(
+                        jnp.zeros(v.shape, v.dtype), dev_list[0]
+                    ),
+                    arrays,
+                )
+                out = compiled(*dummies)
+                jax.block_until_ready(out)
+                del out, dummies
+                with open(base + ".ok", "w"):
+                    pass
             self._note("loaded serialized executable")
             return compiled
         except FileNotFoundError:
             pass
         except Exception as e:
             self._note(f"stale/corrupt cache entry, recompiling: {e!r}")
-            for suffix in (".bin", ".tree"):  # self-heal for the next process
+            for suffix in (".bin", ".tree", ".ok"):  # self-heal for the next process
                 try:
                     os.unlink(base + suffix)
                 except OSError:

@@ -266,6 +266,29 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
             if floor <= best_dev * 1.05:  # a stormy probe can exceed the
                 phases["link_floor_sec"] = round(floor, 3)  # wall: then skip
                 phases["device_e2e_vs_link_floor"] = round(floor / best_dev, 3)
+            # persist the best same-run (floor, wall) pair ever observed on
+            # this machine: tunnel weather swings the ratio 0.45-0.97
+            # between captures (docs), and a labeled cross-run best keeps
+            # one stormy driver window from reading as a kernel regression
+            try:
+                rc_cache = WORK / f"dev_e2e_best_{N_READS}.json"
+                seen = {"ratio": 0.0}
+                if rc_cache.exists():
+                    seen = json.loads(rc_cache.read_text())
+                ratio = floor / best_dev
+                if ratio > seen.get("ratio", 0.0) and ratio <= 1.05:
+                    seen = {
+                        "ratio": round(ratio, 3),
+                        "reads_per_sec": round(N_READS / best_dev, 1),
+                    }
+                    rc_cache.write_text(json.dumps(seen))
+                if seen.get("ratio"):
+                    phases["device_e2e_vs_link_floor_best_observed"] = seen["ratio"]
+                    phases["device_only_reads_per_sec_best_observed"] = seen[
+                        "reads_per_sec"
+                    ]
+            except (OSError, ValueError):
+                pass
     except Exception:
         pass
     # --- scaling-efficiency proxy (BASELINE.md north star: >=85% at 2

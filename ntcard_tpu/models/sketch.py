@@ -850,16 +850,22 @@ class CountTableSketch(DeferredReplayMixin):
                 for _ in range(nk)
             )
             targets.append((_update, (tables_spec,) + spec_args))
-        threads = []
-        for fn, args in targets:
-            if not hasattr(fn, "preload"):
-                continue
-            t = threading.Thread(
-                target=fn.preload, args=args, daemon=True, name="ntcard-aot-warm"
-            )
-            t.start()
-            threads.append(t)
-        return threads
+        targets = [(fn, args) for fn, args in targets if hasattr(fn, "preload")]
+
+        # ONE thread, in dispatch order: the preload cost is dominated by
+        # client-side tracing (~2 s of pure Python for the r27 3-k
+        # program), which the GIL serializes anyway — two concurrent
+        # preloads would each take ~2x wall and the FIRST dispatch blocks
+        # on _update_first alone. Sequential ordering readies the
+        # first-batch program ~2 s sooner; the steady-state program warms
+        # while batch 1 executes.
+        def _warm_all():
+            for fn, args in targets:
+                fn.preload(*args)
+
+        t = threading.Thread(target=_warm_all, daemon=True, name="ntcard-aot-warm")
+        t.start()
+        return [t]
 
     def update(self, codes: np.ndarray, packed: bool = False) -> None:
         """codes: [B, L] uint8, or a wire batch when ``packed`` (see

@@ -167,7 +167,13 @@ class _AotFunction:
         the first committed array leaf, None for default placement, or
         "multi" for sharded operands (AOT then defers to plain jit — a
         deserialized executable binds to an explicit device list, and the
-        sharded engines are not on the cold-start path)."""
+        sharded engines are not on the cold-start path). A commitment to
+        the DEFAULT device normalizes to None: it executes identically,
+        and the preload path (ShapeDtypeStruct specs, no devices at all)
+        must land on the same key as the real device_put-committed call —
+        without this the boot-thread preload entry was never hit."""
+        import jax
+
         for v in leaves:
             get = getattr(v, "devices", None)
             if callable(get):
@@ -178,7 +184,8 @@ class _AotFunction:
                 if len(ds) > 1:
                     return "multi"
                 if len(ds) == 1 and getattr(v, "committed", True):
-                    return next(iter(ds)).id
+                    dev_id = next(iter(ds)).id
+                    return None if dev_id == jax.devices()[0].id else dev_id
         return None
 
     def _call_key(self, arrays, statics):

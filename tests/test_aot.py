@@ -108,6 +108,17 @@ def test_preload_with_specs(aot_on):
     r, _ = f(np.zeros(16, dtype=np.int32), x, 4)
     assert int(np.asarray(r)[1]) == 4
     assert len([n for n in os.listdir(aot_on) if n.endswith(".bin")]) == 1
+    # device_put-COMMITTED args on the default device must land on the
+    # SAME in-memory entry as the spec preload (placement normalization —
+    # the CLI's wires are committed via explicit device_put, the preload
+    # uses bare specs; a key mismatch would silently re-prepare and waste
+    # the boot-thread overlap)
+    n_entries = len(f._calls)
+    xd = jax.device_put(x)
+    ad = jax.device_put(np.zeros(16, dtype=np.int32))
+    r2, _ = f(ad, xd, 4)
+    assert int(np.asarray(r2)[1]) == 4
+    assert len(f._calls) == n_entries, "committed-arg call missed the preload entry"
 
 
 def test_disabled_paths(tmp_path, monkeypatch):

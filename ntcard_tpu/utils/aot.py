@@ -96,7 +96,7 @@ def _stack_fingerprint() -> str:
 
 
 def _prune(cache_dir: str, cap: int = 256) -> None:
-    """Drop oldest entries past the cap (each entry is 2 files)."""
+    """Drop oldest entries past the cap (each entry: .bin/.tree/.ok)."""
     try:
         names = [n for n in os.listdir(cache_dir) if n.endswith(".bin")]
         if len(names) <= cap:

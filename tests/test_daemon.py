@@ -484,6 +484,36 @@ def test_read_timeout_does_not_wedge_server(monkeypatch):
     b.close()
 
 
+def test_idle_expiry_and_threaded_stop(tmp_path, monkeypatch):
+    """The threaded accept loop must idle-expire from the last connection
+    CLOSE (not wedge forever at a sub-second timeout, the old non-blocking
+    BlockingIOError crash class), and a connection mid-count must hold
+    expiry open."""
+    import threading
+
+    from ntcard_tpu import daemon as dmod
+
+    sock = str(tmp_path / "idle.sock")
+    rc = []
+    t = threading.Thread(
+        target=lambda: rc.append(dmod.serve(sock, idle_sec=2.0)), daemon=True
+    )
+    t.start()
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and not os.path.exists(sock):
+        time.sleep(0.1)
+    assert os.path.exists(sock), "daemon never bound"
+    # a ping resets the idle clock and is served from a conn thread
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", sock)
+    from ntcard_tpu.daemon import _control
+
+    assert _control("ping") == 0
+    t.join(timeout=30)  # idle expiry fires ~2 s after the ping closes
+    assert not t.is_alive(), "serve did not idle-expire"
+    assert rc == [0]
+    assert not os.path.exists(sock)  # socket unlinked on exit
+
+
 def test_trace_time_knobs_not_routed(tmp_path, monkeypatch):
     """Jobs forcing trace-time kernel knobs run in-process: inside a
     long-lived daemon they could execute programs traced under different

@@ -142,9 +142,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 use_host = total < int(thresh_env)
             else:
                 # cli._use_host_engine's cost model: host unless the
-                # estimated host-only wall exceeds the device fixed floor
+                # estimated host-only wall exceeds the device fixed floor —
+                # inside the warm-pool daemon (NTCARD_IN_DAEMON, daemon.py)
+                # the startup chain is already paid, so the floor drops to
+                # the measured warm cost, same as ntcard's
                 host_rate = float(_os.environ.get("NTCARD_HOST_RATE_BPS", 0.8e9))
-                floor = float(_os.environ.get("NTCARD_DEVICE_FLOOR_SEC", 4.0))
+                floor_default = 0.25 if _os.environ.get("NTCARD_IN_DAEMON") else 4.0
+                floor = float(
+                    _os.environ.get("NTCARD_DEVICE_FLOOR_SEC", floor_default)
+                )
                 use_host = total / host_rate < floor
             use_host = use_host and host_engine_available()
     if use_host:

@@ -396,7 +396,7 @@ def _measure_link_rate(n_mb: int = 24) -> float:
 
 
 def _measure_device_step(
-    ks: tuple, r_bits: int, m: int = 10, rows: int = 8192, chunk_len: int = 1024,
+    ks: tuple, r_bits: int, m: int = 24, rows: int = 8192, chunk_len: int = 1024,
     warm: int = 2,
 ) -> float | None:
     """Warm steady-state device step rate (bases/s across all k) at a given
@@ -432,13 +432,21 @@ def _measure_device_step(
         sketch.update(w, packed=mode)
     sketch._flush_deferred()
     np.asarray(sketch.f1s)
-    t0 = time.perf_counter()
-    for w in wires[warm:]:
-        sketch.update(w, packed=mode)
-    sketch._flush_deferred()
-    np.asarray(sketch.f1s)  # drain the chain
-    dt = time.perf_counter() - t0
-    return (m * rows * stride) / max(dt, 1e-9)
+    # best-of-2 timed loops: the chained protocol's single final drain RPC
+    # rides tunnel weather (~90 ms to seconds) and divides over m — large m
+    # plus a second sample keep one storm-priced drain from inflating the
+    # per-batch figure (reusing the wires is safe: the donated state chain
+    # differs every call, so the runtime cannot memoize)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for w in wires[warm:]:
+            sketch.update(w, packed=mode)
+        sketch._flush_deferred()
+        np.asarray(sketch.f1s)  # drain the chain
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return (m * rows * stride) / max(best, 1e-9)
 
 
 def _measure_merge_sec(m: int = 6) -> float | None:

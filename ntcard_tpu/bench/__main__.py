@@ -67,7 +67,10 @@ def bench_kernel():
     print("#   (ops/scatter_pallas.py on TPU; identical on CPU backends)")
     for k, B, L in [(32, 8192, 1024), (64, 8192, 1024), (128, 8192, 1024), (64, 16384, 1024)]:
         stride = ((L - k + 1) // 8) * 8
-        batches = [jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8)) for _ in range(4)]
+        # 12 reps: the chained protocol's one final drain RPC rides tunnel
+        # weather (~90 ms to seconds) and divides over the rep count — at 4
+        # reps a stormy drain inflated per-batch readings ~2x
+        batches = [jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8)) for _ in range(12)]
         table0 = jnp.zeros((2 * (1 << 16) + 1,), jnp.int32)
 
         @jax.jit

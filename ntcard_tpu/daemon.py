@@ -339,6 +339,16 @@ def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
         except OSError:
             pass
         return 1
+    # SIGTERM (the polite stop a supervisor sends) must run the finally
+    # below — without a handler Python dies without unlinking the socket
+    # file. Stale files are harmless to clients (connect fails instantly)
+    # but untidy; best-effort (fails on non-main threads, e.g. tests).
+    import signal
+
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    except (ValueError, OSError):
+        pass
     _prewarm()
     sys.stderr.write(f"ntcardd: serving on {sock_path}\n")
     import time

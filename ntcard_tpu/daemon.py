@@ -637,12 +637,19 @@ Env: NTCARD_DAEMON_SOCK, NTCARD_DAEMON_IDLE_SEC, NTCARD_DAEMON_WARM
      NTCARD_DAEMON_REQUEST_SEC, NTCARD_DAEMON_BUSY.
 """
 
-if __name__ == "__main__":
-    if "--help" in sys.argv[1:] or "-h" in sys.argv[1:]:
+def main(argv: list | None = None) -> int:
+    """Console entry point (`ntcardd` when installed; `bin/ntcardd` /
+    `python -m ntcard_tpu.daemon` in-repo)."""
+    args = sys.argv[1:] if argv is None else argv
+    if "--help" in args or "-h" in args:
         sys.stderr.write(_USAGE)
-        raise SystemExit(0)
-    if "--status" in sys.argv[1:]:
-        raise SystemExit(_control("ping"))
-    if "--stop" in sys.argv[1:]:
-        raise SystemExit(_control("stop"))
-    raise SystemExit(serve())
+        return 0
+    if "--status" in args:
+        return _control("ping")
+    if "--stop" in args:
+        return _control("stop")
+    return serve()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -484,6 +484,30 @@ def test_read_timeout_does_not_wedge_server(monkeypatch):
     b.close()
 
 
+def test_daemon_with_aot_forced(daemon, tmp_path, monkeypatch):
+    """The combined production stack — daemon routing + the AOT executable
+    cache (forced on CPU) — must stay byte-identical to a plain direct run.
+    NTCARD_AOT/NTCARD_AOT_CACHE ride the request env, so the DAEMON process
+    serves the job through aot_jit entries."""
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, seed=31)
+    # --devices 1: the 8-virtual-device test mesh routes to the sharded
+    # engines, which don't run the aot-wrapped single-device programs
+    argv = ["-k20,28", "-r11", "-c25", "--devices", "1"]
+    monkeypatch.setenv("NTCARD_DAEMON", "0")
+    assert cli.main(argv + ["-p", str(tmp_path / "direct"), str(fq)]) == 0
+    golden = (tmp_path / "direct_k20.hist").read_bytes()
+    monkeypatch.setenv("NTCARD_DAEMON", "1")
+    monkeypatch.setenv("NTCARD_DAEMON_SOCK", daemon)
+    monkeypatch.setenv("NTCARD_DAEMON_CONNECT_SEC", "5")
+    monkeypatch.setenv("NTCARD_AOT", "1")
+    monkeypatch.setenv("NTCARD_AOT_CACHE", str(tmp_path / "aot"))
+    for tag in ("a1", "a2"):  # second pass: daemon-side AOT entries warm
+        assert cli.main(argv + ["-p", str(tmp_path / tag), str(fq)]) == 0
+        assert (tmp_path / f"{tag}_k20.hist").read_bytes() == golden
+    assert (tmp_path / "aot").exists()  # the daemon actually wrote entries
+
+
 def test_idle_expiry_and_threaded_stop(tmp_path, monkeypatch):
     """The threaded accept loop must idle-expire from the last connection
     CLOSE (not wedge forever at a sub-second timeout, the old non-blocking

@@ -20,6 +20,14 @@ import time
 from pathlib import Path
 
 WORK = Path(os.environ.get("NTCARD_BENCH_DIR", "/tmp/ntcard_bench"))
+# wall budget bookkeeping (set in main): optional phases check the
+# remaining budget instead of relying on the watchdog alone
+_T0 = time.perf_counter()
+_DEADLINE = 540.0
+
+
+def _budget_left() -> float:
+    return _DEADLINE - (time.perf_counter() - _T0)
 # Results banked as soon as they are measured; the watchdog's rescue line
 # includes them, so a tunnel wedge LATER in the run (e.g. during the e2e
 # passes) cannot erase an already-measured r27 head-to-head or device-only
@@ -323,7 +331,7 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
     # ~600 Mbases/s on 4 host cores). The tunnel caps the MEASURED e2e at
     # link_floor_sec; these keys state what the kernels do regardless.
     try:
-        step_bps = _measure_device_step((K,), R_BITS, m=10)
+        step_bps = _measure_device_step((K,), R_BITS) if _budget_left() > 90 else None
         if step_bps:
             phases["device_step_mbases_per_sec"] = round(step_bps / 1e6, 1)
             PARTIAL["device_step_mbases_per_sec"] = phases[
@@ -345,7 +353,11 @@ def measure_ours(fq: Path) -> tuple[float, dict]:
         # the production default config (r27, 3 k values), deferral window
         # included: 16 timed batches after a 10-batch warm so every flush
         # shape is warm (SURVEY §8 item 22-23 story, now a recorded metric)
-        step27 = _measure_device_step((64, 96, 128), 27, m=16, warm=10)
+        step27 = (
+            _measure_device_step((64, 96, 128), 27, m=16, warm=10)
+            if _budget_left() > 90
+            else None
+        )
         if step27:
             phases["device_step_mbases_per_sec_r27_3k"] = round(step27 / 1e6, 1)
             PARTIAL["device_step_mbases_per_sec_r27_3k"] = phases[
@@ -929,10 +941,12 @@ def measure_r27_default(fq: Path, deadline_left: float, retry: bool = False) -> 
 
 
 def main() -> int:
+    global _T0, _DEADLINE
     t_main = time.perf_counter()
     fq = ensure_data()
     ref_rps = measure_reference(fq)
     deadline = float(os.environ.get("NTCARD_BENCH_DEADLINE", 540))
+    _T0, _DEADLINE = t_main, deadline
     _arm_watchdog(deadline, ref_rps, fq)
     if os.environ.get("NTCARD_ENGINE") == "host":
         ours_rps, phases = measure_host_fallback(fq)

@@ -3,7 +3,13 @@
 The four per-base 64-bit seeds and the multi-hash constants are the frozen,
 published ntHash constants (reference: /root/reference/vendor/ntHash/nthash.hpp:22-29).
 They are *data*, not code: every downstream hash value depends on them bit-for-bit,
-so they must match exactly.
+so they must match exactly. (The reference also ships the generator that
+once produced such seeds — lib/seedgen.cpp:24-159 — but the published
+values do not even satisfy its balance invariants any more: row popcounts
+are 33/25/24/30, not 32 each, and per-bit column sums range 0..4, not the
+generator's exactly-2-of-4 — measured round 5. Regeneration is therefore
+impossible by construction, not merely undesirable; bit-exact copying is
+the only parity-correct treatment of these constants.)
 
 Everything else in this module is derived: ntHash treats a 64-bit word as two
 independent cyclic rings — a 33-bit ring in bits [0..32] and a 31-bit ring in

@@ -346,6 +346,26 @@ def _update_defer(
     return vals, f, flags, ocount + flags.sum(dtype=jnp.uint32)
 
 
+@partial(aot_jit, static_argnames=("nk", "n"))
+def _flush_scatter_first(slots, nk, n):
+    """First flush with the per-k table allocation FUSED in — equivalent to
+    ``_flush_scatter(zero_tables, slots)`` but without a separate
+    _make_tables program: with scatter deferral on (the big-table default)
+    the cold path's only table-allocating executable is this one, and the
+    big _update_first program never loads at all (round-5 cold-chain cut;
+    ntcard.cpp:437-439 is the reference's host-side calloc analog)."""
+    zeros = tuple(jnp.zeros((n,), jnp.int32) for _ in range(nk))
+    return _flush_scatter_impl(zeros, slots)
+
+
+def _flush_scatter_impl(tables, slots):
+    new = []
+    for i, t in enumerate(tables):
+        cat = jnp.concatenate([s[i] for s in slots])
+        new.append(t.at[cat].add(1, mode="drop"))
+    return tuple(new)
+
+
 @partial(aot_jit, donate_argnums=(0,))
 def _flush_scatter(tables, slots):
     """Apply S deferred batches' compacted buffers in one scatter per k.
@@ -354,11 +374,7 @@ def _flush_scatter(tables, slots):
     greedy power-of-two chunks, so at most log2(S_max)+1 shapes exist).
     The concatenate is a few-MB VMEM-side copy; the scatter's ~11.6 ms
     fixed cost is paid once per flush instead of once per batch."""
-    new = []
-    for i, t in enumerate(tables):
-        cat = jnp.concatenate([s[i] for s in slots])
-        new.append(t.at[cat].add(1, mode="drop"))
-    return tuple(new)
+    return _flush_scatter_impl(tables, slots)
 
 
 @partial(
@@ -841,15 +857,20 @@ class CountTableSketch(DeferredReplayMixin):
             self.gap_positions,
             packed,
         )
-        targets = [(_update_first, spec_args)]
         if self._defer_max > 0:
-            targets.append((_update_defer, spec_args))
+            # the deferral path never runs _update_first (batch 1 defers
+            # too; tables allocate inside the first flush) — ONE big
+            # update program covers the whole stream
+            targets = [(_update_defer, spec_args)]
         else:
             tables_spec = tuple(
                 ShapeDtypeStruct((2 * self.r_buck + 1,), jnp.int32)
                 for _ in range(nk)
             )
-            targets.append((_update, (tables_spec,) + spec_args))
+            targets = [
+                (_update_first, spec_args),
+                (_update, (tables_spec,) + spec_args),
+            ]
         targets = [(fn, args) for fn, args in targets if hasattr(fn, "preload")]
 
         # ONE thread, in dispatch order: the preload cost is dominated by
@@ -871,22 +892,14 @@ class CountTableSketch(DeferredReplayMixin):
         """codes: [B, L] uint8, or a wire batch when ``packed`` (see
         io/packing.py) — or a [n, rows, width] stack of same-format wire
         batches (pipeline superbatching), folded by one scanning dispatch."""
-        if self._tables is None and codes.ndim == 2:
-            # first batch: table alloc fused into the update program
-            self._tables, self.f1s, flags, self._ocount = _update_first(
-                self.f1s,
-                self._ocount,
-                codes,
-                self.ks,
-                self.stride,
-                self.s_bits,
-                self.r_bits,
-                self.gap_positions,
-                packed,
-            )
-        elif self._defer_max > 0 and codes.ndim == 2:
-            # deferred-scatter hot path: no table operands in the dispatch;
-            # pending buffers fold into one scatter per k every S batches
+        if self._defer_max > 0 and codes.ndim == 2:
+            # deferred-scatter hot path FROM BATCH 1: no table operands in
+            # the dispatch at all — the tables allocate inside the first
+            # flush (_flush_scatter_first), so a cold deferral-path run
+            # traces and loads ONE big update program instead of two
+            # (_update_first's trace + ~10 MB executable drop off the
+            # round-5 cold-start critical chain); pending buffers fold
+            # into one scatter per k every S batches
             vals, self.f1s, flags, self._ocount = _update_defer(
                 self.f1s,
                 self._ocount,
@@ -901,6 +914,20 @@ class CountTableSketch(DeferredReplayMixin):
             self._defer_vals.append(vals)
             if len(self._defer_vals) >= self._defer_max:
                 self._flush_deferred()
+        elif self._tables is None and codes.ndim == 2:
+            # first batch, direct path: table alloc fused into the update
+            # program (one executable load fewer on a cold start)
+            self._tables, self.f1s, flags, self._ocount = _update_first(
+                self.f1s,
+                self._ocount,
+                codes,
+                self.ks,
+                self.stride,
+                self.s_bits,
+                self.r_bits,
+                self.gap_positions,
+                packed,
+            )
         else:
             fn = _update_stack if codes.ndim == 3 else _update
             self.tables, self.f1s, flags, self._ocount = fn(
@@ -921,11 +948,19 @@ class CountTableSketch(DeferredReplayMixin):
         """Apply pending deferred-scatter buffers in greedy power-of-two
         chunks (at most log2(S)+1 distinct _flush_scatter program shapes
         ever exist). Every reader of .tables (finalize/save/merge) calls
-        this first; replay does not need to (scatter-adds commute)."""
+        this first; replay does not need to (scatter-adds commute). The
+        VERY first flush allocates the tables inside its own program
+        (_flush_scatter_first — bit-identical to flushing into fresh
+        zeros), keeping the cold path at one table-allocating program."""
         while self._defer_vals:
             n = 1 << (len(self._defer_vals).bit_length() - 1)
             chunk, self._defer_vals = self._defer_vals[:n], self._defer_vals[n:]
-            self.tables = _flush_scatter(self.tables, tuple(chunk))
+            if self._tables is None:
+                self._tables = _flush_scatter_first(
+                    tuple(chunk), len(self.ks), 2 * self.r_buck + 1
+                )
+            else:
+                self._tables = _flush_scatter(self._tables, tuple(chunk))
 
     def _replay_flagged(self, f, _flags_dev, codes, packed) -> None:
         """f: [nK] or [n, nK] (superbatch stack) numpy overflow flags."""

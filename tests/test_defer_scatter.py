@@ -142,22 +142,27 @@ def test_defer_merge_mid_stream(monkeypatch):
 
 
 def test_defer_engages_and_flushes(monkeypatch):
-    """Deferral must actually engage (batch 0 direct, then pending) and
-    flush exactly at the window size — guards against a silent fallthrough
-    to the direct path that would make every test above vacuous."""
+    """Deferral must actually engage FROM BATCH 1 (round 5: the first batch
+    defers too, and the tables allocate inside the first flush —
+    _flush_scatter_first — so the cold path loads one update program, not
+    two) and flush exactly at the window size — guards against a silent
+    fallthrough to the direct path that would make every test above
+    vacuous."""
     monkeypatch.setenv("NTCARD_SCATTER", "pallas-interpret")
     monkeypatch.setenv("NTCARD_SCATTER_DEFER", "2")
     sk = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
     batches = list(pack_records(_records(n=256, seed=1), CHUNK, ROWS, K))
     assert len(batches) >= 4
-    sk.update(batches[0])  # first: _update_first (alloc fused, direct)
-    assert sk._defer_vals == []
-    sk.update(batches[1])
+    sk.update(batches[0])  # defers immediately; tables still unallocated
     assert len(sk._defer_vals) == 1
-    sk.update(batches[2])  # window of 2 reached: flushed
+    assert sk._tables is None
+    sk.update(batches[1])  # window of 2 reached: first flush allocates
     assert sk._defer_vals == []
-    sk.update(batches[3])
+    assert sk._tables is not None
+    sk.update(batches[2])
     assert len(sk._defer_vals) == 1
+    sk.update(batches[3])  # second flush goes through plain _flush_scatter
+    assert sk._defer_vals == []
 
 
 def test_defer_gap_seed(monkeypatch):

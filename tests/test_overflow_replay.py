@@ -159,9 +159,14 @@ def test_fused_finalize_replay_bitexact(monkeypatch, baseline):
         assert sk._pending  # finalize itself must settle the replays
         state = sk.finalize(cov_max=1000)
         monkeypatch.setenv("NTCARD_FINALIZE", "unfused")
-        base = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
+        # construct the baseline AFTER dropping the trace-time knob: a
+        # sketch built under pallas-interpret decides defer-on at
+        # construction, and (round 5) even batch 1 would then trace
+        # _update_defer under the since-changed env — the documented
+        # trace-time-knob caveat, managed here like everywhere else
         monkeypatch.delenv("NTCARD_SCATTER")
         jax.clear_caches()
+        base = CountTableSketch((K,), S_BITS, R_BITS, STRIDE)
         for b in pack_records(_overflow_records(), CHUNK, ROWS, K):
             base.update(b)
         base_state = base.finalize(cov_max=1000)

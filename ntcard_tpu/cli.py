@@ -518,6 +518,15 @@ def _main_device_fast(opt, in_files, total_size, s_time) -> int:
     for name in ("decode", "pack", "h2d"):
         if name in stages:
             metrics.phases[f"pipeline.{name}"] = stages[name]
+    # fast-key AOT barrier: any boot-thread executable loaded via a
+    # fastkey→digest mapping must have its background trace-verification
+    # pass before results leave the process (utils/aot.py). The verifier
+    # races the stream and is long done by now — the join is free unless
+    # a stale mapping was actually detected, which raises loudly (the
+    # mapping is already evicted, so a rerun traces fresh).
+    from ntcard_tpu.utils.aot import check_trace_verifications
+
+    check_trace_verifications()
     if opt.save_sketch:
         sketch.save(opt.save_sketch)
     with metrics.phase("finalize"):

@@ -988,6 +988,9 @@ class CountTableSketch(DeferredReplayMixin):
     def save(self, path: str) -> None:
         """Checkpoint the sketch state (pure, commutative — partial runs can
         be merged offline; the reference has no equivalent, SURVEY.md §5)."""
+        from ntcard_tpu.utils.aot import check_trace_verifications
+
+        check_trace_verifications()  # fast-key loads must verify first
         self._flush_replays()
         self._flush_deferred()
         np.savez_compressed(
@@ -1152,6 +1155,9 @@ class CountTableSketch(DeferredReplayMixin):
         bandwidth can be the bottleneck on tunneled TPUs);
         return_table=True additionally pulls the raw uint16 table (large —
         test/debug use)."""
+        from ntcard_tpu.utils.aot import check_trace_verifications
+
+        check_trace_verifications()  # fast-key loads must verify first
         self._flush_deferred()  # pending scatter-deferral buffers first
         nbins = min(cov_max + 1, 65536)
         if self._bundle_ok(nbins):

@@ -121,6 +121,94 @@ def test_preload_with_specs(aot_on):
     assert len(f._calls) == n_entries, "committed-arg call missed the preload entry"
 
 
+def test_fastkey_skips_trace_and_verifies(aot_on, monkeypatch):
+    """Second-process preload must load via the fastkey→digest mapping
+    (no foreground trace) and the background verification must pass."""
+    f = _fresh()
+    spec = jax.ShapeDtypeStruct((32,), jnp.int32)
+    assert f.preload(spec, spec, 3)  # traces, stores payload + mapping
+    aot.check_trace_verifications()
+    maps = [n for n in os.listdir(aot_on) if n.startswith("map_")]
+    assert len(maps) == 1
+    # fresh wrapper: count foreground lowers via a wrapped lower
+    f2 = _fresh()
+    lowers = []
+    real_lower = f2._jit.lower
+    f2._jit = type(
+        "W",
+        (),
+        {
+            "lower": staticmethod(
+                lambda *a, **k: (lowers.append(1), real_lower(*a, **k))[1]
+            ),
+            "clear_cache": staticmethod(lambda: None),
+            "__call__": staticmethod(lambda *a, **k: None),
+        },
+    )()
+    assert f2.preload(spec, spec, 3)
+    # the foreground path must NOT have lowered; the semantic verifier
+    # thread does (asynchronously) — the barrier waits and must agree
+    aot.check_trace_verifications()
+    assert len(lowers) == 1  # exactly the verifier's trace
+    # the mapping is now stamped verified: a third fresh wrapper takes the
+    # pure fast path (no trace, no pending verification)
+    vok = [n for n in os.listdir(aot_on) if n.endswith(".vok")]
+    assert len(vok) == 1
+    f3 = _fresh()
+    assert f3.preload(spec, spec, 3)
+    assert aot._VERIFY_PENDING == []
+    x = np.arange(32, dtype=np.int32)
+    r, _ = f3(np.zeros(32, dtype=np.int32), x, 3)
+    assert int(np.asarray(r)[1]) == 3
+
+
+def test_fastkey_mismatch_raises_and_evicts(aot_on, monkeypatch):
+    """A stale mapping (pointing at a DIFFERENT program's digest) must load
+    something, but the verification barrier must raise and evict it —
+    never silently expose a wrong program's results."""
+    f = _fresh()
+    spec = jax.ShapeDtypeStruct((32,), jnp.int32)
+    assert f.preload(spec, spec, 3)
+    aot.check_trace_verifications()
+    # a second program with the same signature but different math
+    def g_fn(acc, x, k):
+        return acc + x * k + 1, (acc | x).sum()
+    g = aot_jit(g_fn, static_argnames=("k",), donate_argnums=(0,))
+    assert g.preload(spec, spec, 3)
+    aot.check_trace_verifications()
+    # point f's mapping at g's digest
+    maps = sorted(
+        (os.path.getmtime(os.path.join(aot_on, n)), n)
+        for n in os.listdir(aot_on)
+        if n.startswith("map_")
+    )
+    assert len(maps) == 2
+    f_map, g_map = maps[0][1], maps[1][1]
+    g_digest = open(os.path.join(aot_on, g_map)).read()
+    with open(os.path.join(aot_on, f_map), "w") as fh:
+        fh.write(g_digest)
+    f3 = _fresh()
+    assert f3.preload(spec, spec, 3)  # loads the WRONG executable
+    with pytest.raises(RuntimeError, match="differ|mismatch|arity"):
+        aot.check_trace_verifications()
+    assert not os.path.exists(os.path.join(aot_on, f_map))  # evicted
+    # a rerun preloads cleanly via the trace path
+    f4 = _fresh()
+    assert f4.preload(spec, spec, 3)
+    aot.check_trace_verifications()
+
+
+def test_fastkey_invalidated_by_env_knob(aot_on, monkeypatch):
+    """Trace-time NTCARD_* knobs are part of the fast-key material: a knob
+    flip must MISS the mapping (different key), not hit a stale one."""
+    f = _fresh()
+    spec = jax.ShapeDtypeStruct((32,), jnp.int32)
+    k1 = f._fastkey(*f._split((spec, spec, 3), {}))
+    monkeypatch.setenv("NTCARD_COMPACT_WAYS", "8")
+    k2 = f._fastkey(*f._split((spec, spec, 3), {}))
+    assert k1 != k2
+
+
 def test_disabled_paths(tmp_path, monkeypatch):
     monkeypatch.setenv("NTCARD_AOT", "0")
     monkeypatch.setenv("NTCARD_AOT_CACHE", str(tmp_path / "off"))

@@ -307,9 +307,19 @@ class _AotFunction:
         import numpy as _np
 
         key = self._call_key(arrays, statics)
-        env = sorted(
-            (k, v) for k, v in os.environ.items() if k.startswith("NTCARD_")
+        # only the TRACE-time knobs (the daemon's canonical list,
+        # daemon.py:_job_eligible) — keying on every NTCARD_* var made
+        # unrelated env (bench deadlines, verbosity) miss valid mappings.
+        # A knob this list ever misses is exactly what the semantic
+        # verification pass exists to catch.
+        knobs = (
+            "NTCARD_SCATTER",
+            "NTCARD_KERNEL",
+            "NTCARD_COMPACT",
+            "NTCARD_COMPACT_WAYS",
+            "NTCARD_FINALIZE",
         )
+        env = [(k, os.environ.get(k, "")) for k in knobs]
         material = "\0".join(
             [
                 "fk1",

@@ -339,14 +339,23 @@ def serve(sock_path: str | None = None, idle_sec: float | None = None) -> int:
         except OSError:
             pass
         return 1
-    # SIGTERM (the polite stop a supervisor sends) must run the finally
-    # below — without a handler Python dies without unlinking the socket
-    # file. Stale files are harmless to clients (connect fails instantly)
-    # but untidy; best-effort (fails on non-main threads, e.g. tests).
+    # SIGTERM (the polite stop a supervisor sends): unlink the socket file
+    # and exit IMMEDIATELY via os._exit — raising SystemExit through the
+    # accept loop lets Python tear down the PJRT runtime's C++ threads,
+    # which aborts with "FATAL: exception not rethrown" (observed). Stale
+    # socket files are harmless to clients but untidy; best-effort (the
+    # handler install fails on non-main threads, e.g. tests).
     import signal
 
+    def _on_term(*_):
+        try:
+            os.unlink(sock_path)
+        except OSError:
+            pass
+        os._exit(0)
+
     try:
-        signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+        signal.signal(signal.SIGTERM, _on_term)
     except (ValueError, OSError):
         pass
     _prewarm()

@@ -154,6 +154,17 @@ def check_trace_verifications(timeout: float | None = None) -> None:
             )
 
 
+def _fastkey_on() -> bool:
+    """Fast-key trace skipping is for COLD processes. Inside the warm-pool
+    daemon the in-memory call cache already amortizes tracing across jobs,
+    and a background semantic verifier (compile + paired executions)
+    racing a live job's dispatch stream was observed to wedge the daemon —
+    the fast key buys nothing there and is disabled."""
+    if os.environ.get("NTCARD_AOT_FASTKEY", "1") == "0":
+        return False
+    return not os.environ.get("NTCARD_IN_DAEMON")
+
+
 def _prune(cache_dir: str, cap: int = 256) -> None:
     """Drop oldest entries past the cap (each entry: .bin/.tree/.ok)."""
     try:
@@ -297,11 +308,11 @@ class _AotFunction:
 
     def _fastkey(self, arrays, statics) -> str:
         """Trace-free key: everything the lowered HLO is a deterministic
-        function of — shapes/dtypes/statics, the package SOURCES, every
-        NTCARD_* env knob (trace-time knobs are a subset), and the stack
-        fingerprint. Used only to look up a digest→executable mapping that
-        a prior traced run recorded; a background re-trace verifies the
-        mapping before results are exposed (check_trace_verifications)."""
+        function of — shapes/dtypes/statics, the package SOURCES, the
+        trace-time NTCARD_* knobs, and the stack fingerprint. Used only to
+        look up a digest→executable mapping that a prior traced run
+        recorded; a background semantic check verifies the mapping before
+        results are exposed (check_trace_verifications)."""
         import sys as _sys
 
         import numpy as _np
@@ -578,7 +589,7 @@ class _AotFunction:
         if self._calls.get(key) is not None:
             return self._calls[key] is not False
         fastkey = None
-        if os.environ.get("NTCARD_AOT_FASTKEY", "1") != "0":
+        if _fastkey_on():
             try:
                 fastkey = self._fastkey(arrays, statics)
                 self._note(f"fastkey {fastkey[:12]}")
@@ -622,7 +633,7 @@ class _AotFunction:
             # side prepares first still skips the ~2 s trace on a mapping
             # hit and records the mapping for the next cold process
             fastkey = None
-            if os.environ.get("NTCARD_AOT_FASTKEY", "1") != "0":
+            if _fastkey_on():
                 try:
                     fastkey = self._fastkey(arrays, statics)
                 except Exception:

@@ -173,6 +173,9 @@ def merged_finalize(sketch, cov_max: int = 65535):
     import numpy as np
     from jax.experimental import multihost_utils
 
+    from ntcard_tpu.utils.aot import check_trace_verifications
+
+    check_trace_verifications()  # fast-key loads must verify before results
     sketch._flush_replays()  # settle deferred overflow replays first
     sketch._flush_deferred()  # and pending scatter-deferral buffers
     f1_local = np.asarray(sketch._f1_totals(), np.int64)

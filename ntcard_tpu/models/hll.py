@@ -21,9 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ntcard_tpu.ops.nthash import hll_scan
+from ntcard_tpu.utils.aot import aot_jit, check_trace_verifications
 
 
-@partial(jax.jit, static_argnames=("k", "stride", "n_bits", "packed"), donate_argnums=(0,))
+@partial(aot_jit, static_argnames=("k", "stride", "n_bits", "packed"), donate_argnums=(0,))
 def _update(regs, codes, k, stride, n_bits, packed=False):
     reg_idx, run0 = hll_scan(codes, k, stride, n_bits, packed=packed)
     return regs.at[reg_idx].max(run0)
@@ -47,6 +48,9 @@ class HllSketch:
         self.regs = _update(self.regs, codes, self.k, self.stride, self.n_bits, packed)
 
     def registers(self) -> np.ndarray:
+        # fast-key AOT loads (utils/aot.py) must verify before results
+        # leave the process — this is the HLL path's exposure point
+        check_trace_verifications()
         return np.asarray(self.regs).astype(np.uint8)
 
 
